@@ -1,0 +1,99 @@
+"""Simulation configuration.
+
+The reference hardcodes all numerical parameters as private members scattered
+through the code (see /root/reference/src/fluidsimulation.h:121-130,
+pressuresolver.h:224-226, viscositysolver.h:200-202, fluidsimulation.cpp:36,79).
+Here they live in one frozen, hashable dataclass so the whole parameter set can
+be a static argument to jitted functions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class SimConfig:
+    """All numerical constants of the FLIP solver.
+
+    Defaults reproduce the reference's hardcoded values.
+    """
+
+    # Grid (cells per axis) and cell width.
+    isize: int = 64
+    jsize: int = 64
+    ksize: int = 64
+    dx: float = 1.0 / 64.0
+
+    # CFL condition number: substep dt = cfl * dx / max|u|
+    # (fluidsimulation.h:128, fluidsimulation.cpp:241-269)
+    cfl_number: float = 5.0
+
+    # PIC/FLIP blend: v = r*PIC + (1-r)*FLIP (fluidsimulation.h:130)
+    ratio_pic_flip: float = 0.05
+
+    # Free-surface ghost-fluid minimum fraction theta clamp
+    # (fluidsimulation.h:129, pressuresolver.h:226)
+    minfrac: float = 0.01
+
+    # Mesh->SDF exact computation band, in cells (fluidsimulation.h:121)
+    mesh_levelset_exact_band: int = 3
+
+    # Particle radius = dx * 1.01 * sqrt(3)/2 (fluidsimulation.cpp:36)
+    particle_radius_factor: float = 1.01 * (3.0 ** 0.5) / 2.0
+
+    # Jittered seeding samples per cell (fluidsimulation.cpp:79)
+    particles_per_cell: int = 8
+
+    # Velocity extrapolation layers = ceil(cfl) + 2 (fluidsimulation.cpp:690-694)
+    # stored explicitly so it stays a static python int.
+    extrapolation_layers: int = 7
+
+    # Pressure solve (pressuresolver.h:224-225). The reference uses an absolute
+    # inf-norm tolerance of 1e-9 with MICCG in float64; in float32 on TPU we use
+    # a relative tolerance floor instead (documented divergence).
+    pressure_solve_max_iterations: int = 200
+    pressure_solve_tolerance: float = 1e-9       # absolute floor
+    pressure_solve_rtol: float = 1e-6            # relative to ||b||_inf
+
+    # Viscosity solve (viscositysolver.h:200-202). Reference: relative 1e-6,
+    # 700 iters, and results accepted if final abs error < 10.0.
+    viscosity_solve_max_iterations: int = 700
+    viscosity_solve_rtol: float = 1e-6
+    viscosity_acceptable_error: float = 10.0
+
+    # Bucketed particle-engine capacity: max particles tracked per grid cell.
+    # Seeding places 8 per cell; FLIP compression can exceed that transiently.
+    bucket_capacity: int = 16
+
+    # Safety bound on CFL substeps per advance() call (reference has no cap;
+    # its while-loop runs until t reaches dt).
+    max_substeps: int = 64
+
+    @property
+    def grid_shape(self) -> tuple[int, int, int]:
+        return (self.isize, self.jsize, self.ksize)
+
+    @property
+    def n_cells(self) -> int:
+        return self.isize * self.jsize * self.ksize
+
+    @property
+    def particle_radius(self) -> float:
+        return self.dx * self.particle_radius_factor
+
+    @property
+    def u_shape(self) -> tuple[int, int, int]:
+        return (self.isize + 1, self.jsize, self.ksize)
+
+    @property
+    def v_shape(self) -> tuple[int, int, int]:
+        return (self.isize, self.jsize + 1, self.ksize)
+
+    @property
+    def w_shape(self) -> tuple[int, int, int]:
+        return (self.isize, self.jsize, self.ksize + 1)
+
+    @property
+    def node_shape(self) -> tuple[int, int, int]:
+        return (self.isize + 1, self.jsize + 1, self.ksize + 1)

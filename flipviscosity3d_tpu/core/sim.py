@@ -1,0 +1,205 @@
+"""FluidSimulation — the public engine API.
+
+Mirrors the reference's public surface (/root/reference/src/fluidsimulation.h:53-63):
+initialize / addBoundary / resetBoundary / addLiquid / setViscosity /
+setGravity / advance, plus particle access. Scene setup (mesh SDFs, particle
+seeding) runs host-side once; `advance` dispatches the single jitted
+computation in core/step.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..config import SimConfig
+from ..io.trianglemesh import TriangleMesh, box_mesh
+from ..ops import interp
+from ..ops.mesh_sdf import MeshLevelSet, mesh_to_sdf
+from ..solvers.viscosity import compute_face_states
+from . import step as step_mod
+from .state import SimState, SolidBoundary, StepDiagnostics
+
+
+class FluidSimulation:
+    """Host-side driver owning a SimState pytree."""
+
+    def __init__(self):
+        self.cfg: SimConfig | None = None
+        self._solid_sdf: MeshLevelSet | None = None
+        self._particles_pos: list[np.ndarray] = []
+        self._state: SimState | None = None
+        self._viscosity: jnp.ndarray | None = None
+        self._gravity = np.array([0.0, -9.81, 0.0], np.float32)
+        self._rng = np.random.default_rng(0)
+        self.last_diagnostics: StepDiagnostics | None = None
+
+    # ---------------- setup API ----------------
+
+    def initialize(self, isize: int, jsize: int, ksize: int, dx: float,
+                   **cfg_overrides):
+        """(fluidsimulation.cpp:26-43)"""
+        self.cfg = SimConfig(
+            isize=isize, jsize=jsize, ksize=ksize, dx=float(dx), **cfg_overrides
+        )
+        self._viscosity = jnp.ones(self.cfg.node_shape, jnp.float32)
+        self._initialize_boundary()
+
+    def _domain_boundary_sdf(self) -> MeshLevelSet:
+        """Default solid boundary: the negated SDF of the domain box expanded
+        by -3dx - 1e-6 (i.e. inset 1.5dx + 5e-7 per side,
+        fluidsimulation.cpp:225-239, aabb.cpp:118-124)."""
+        cfg = self.cfg
+        inset = 0.5 * (3.0 * cfg.dx + 1e-6)
+        pmin = (inset, inset, inset)
+        pmax = (
+            cfg.isize * cfg.dx - inset,
+            cfg.jsize * cfg.dx - inset,
+            cfg.ksize * cfg.dx - inset,
+        )
+        mesh = box_mesh(pmin, pmax)
+        sdf = mesh_to_sdf(mesh.vertices, mesh.triangles, cfg.grid_shape, cfg.dx)
+        return sdf.negate()
+
+    def _initialize_boundary(self):
+        self._solid_sdf = self._domain_boundary_sdf()
+        self._state = None
+
+    def reset_boundary(self):
+        """(fluidsimulation.cpp:60-62)"""
+        self._initialize_boundary()
+
+    def add_boundary(self, mesh: TriangleMesh, inverted: bool = False):
+        """Union a solid obstacle (or inverted container) into the boundary
+        SDF (fluidsimulation.cpp:45-58)."""
+        cfg = self.cfg
+        self._assert_in_domain(mesh)
+        sdf = mesh_to_sdf(mesh.vertices, mesh.triangles, cfg.grid_shape, cfg.dx)
+        if inverted:
+            sdf = sdf.negate()
+        self._solid_sdf = self._solid_sdf.union(sdf)
+        self._state = None
+
+    def _assert_in_domain(self, mesh: TriangleMesh):
+        cfg = self.cfg
+        lo, hi = mesh.aabb()
+        dom_hi = np.array(
+            [cfg.isize * cfg.dx, cfg.jsize * cfg.dx, cfg.ksize * cfg.dx]
+        )
+        if (lo < 0).any() or (hi >= dom_hi).any():
+            raise ValueError("mesh extends outside the simulation domain")
+
+    def add_liquid(self, mesh: TriangleMesh):
+        """Seed 8 jittered particles per cell inside the mesh SDF and outside
+        solids (fluidsimulation.cpp:64-97)."""
+        cfg = self.cfg
+        self._assert_in_domain(mesh)
+        mesh_sdf = mesh_to_sdf(mesh.vertices, mesh.triangles, cfg.grid_shape, cfg.dx)
+
+        i, j, k = np.meshgrid(
+            np.arange(cfg.isize), np.arange(cfg.jsize), np.arange(cfg.ksize),
+            indexing="ij",
+        )
+        base = np.stack([i, j, k], axis=-1).reshape(-1, 3).astype(np.float32)
+        base = np.repeat(base, cfg.particles_per_cell, axis=0) * cfg.dx
+        jitter = self._rng.uniform(
+            0.0, cfg.dx, size=base.shape
+        ).astype(np.float32)
+        pos = base + jitter
+
+        pos_j = jnp.asarray(pos)
+        phi_mesh = interp.trilinear(mesh_sdf.phi, pos_j, cfg.dx)
+        phi_solid = interp.trilinear(self._solid_sdf.phi, pos_j, cfg.dx)
+        keep = np.asarray((phi_mesh < 0) & (phi_solid >= 0))
+        self._particles_pos.append(pos[keep])
+        self._state = None
+
+    def set_viscosity(self, value):
+        """Uniform scalar or full (I+1,J+1,K+1) node grid
+        (fluidsimulation.cpp:99-124)."""
+        cfg = self.cfg
+        value = np.asarray(value, np.float32)
+        if value.ndim == 0:
+            if value < 0:
+                raise ValueError("viscosity must be non-negative")
+            self._viscosity = jnp.full(cfg.node_shape, value, jnp.float32)
+        else:
+            if value.shape != cfg.node_shape:
+                raise ValueError(
+                    f"viscosity grid must have shape {cfg.node_shape}"
+                )
+            if (value < 0).any():
+                raise ValueError("viscosity must be non-negative")
+            self._viscosity = jnp.asarray(value)
+        if self._state is not None:
+            self._state = self._state._replace(viscosity=self._viscosity)
+
+    def set_gravity(self, gx, gy, gz):
+        """(fluidsimulation.cpp:126-132)"""
+        self._gravity = np.array([gx, gy, gz], np.float32)
+        if self._state is not None:
+            self._state = self._state._replace(
+                gravity=jnp.asarray(self._gravity)
+            )
+
+    # ---------------- state assembly ----------------
+
+    def _build_solid_boundary(self) -> SolidBoundary:
+        cfg = self.cfg
+        sdf = self._solid_sdf
+        center_phi = sdf.cell_center_phi()
+        weight_u = jnp.clip(1.0 - sdf.face_weight_u(), 0.0, 1.0)
+        weight_v = jnp.clip(1.0 - sdf.face_weight_v(), 0.0, 1.0)
+        weight_w = jnp.clip(1.0 - sdf.face_weight_w(), 0.0, 1.0)
+        states = compute_face_states(center_phi, cfg)
+        return SolidBoundary(
+            phi=sdf.phi,
+            center_phi=center_phi,
+            weight_u=weight_u,
+            weight_v=weight_v,
+            weight_w=weight_w,
+            solid_u=states.solid_u,
+            solid_v=states.solid_v,
+            solid_w=states.solid_w,
+        )
+
+    @property
+    def state(self) -> SimState:
+        if self._state is None:
+            cfg = self.cfg
+            if self._particles_pos:
+                pos = np.concatenate(self._particles_pos, axis=0)
+            else:
+                pos = np.zeros((0, 3), np.float32)
+            self._state = SimState(
+                pos=jnp.asarray(pos),
+                vel=jnp.zeros_like(jnp.asarray(pos)),
+                u=jnp.zeros(cfg.u_shape, jnp.float32),
+                v=jnp.zeros(cfg.v_shape, jnp.float32),
+                w=jnp.zeros(cfg.w_shape, jnp.float32),
+                solid=self._build_solid_boundary(),
+                viscosity=self._viscosity,
+                gravity=jnp.asarray(self._gravity),
+            )
+        return self._state
+
+    # ---------------- simulation ----------------
+
+    def advance(self, dt: float) -> StepDiagnostics:
+        """Advance one frame with CFL substeps (fluidsimulation.cpp:135-168).
+        """
+        state = self.state
+        if state.pos.shape[0] == 0:
+            raise RuntimeError("no liquid particles; call add_liquid first")
+        new_state, diag = step_mod.advance(state, float(dt), self.cfg)
+        self._state = new_state
+        self.last_diagnostics = diag
+        return diag
+
+    @property
+    def particle_positions(self) -> np.ndarray:
+        return np.asarray(self.state.pos)
+
+    @property
+    def particle_velocities(self) -> np.ndarray:
+        return np.asarray(self.state.vel)

@@ -1,0 +1,326 @@
+"""The FLIP substep and CFL-driven advance loop, fully jitted.
+
+This is the TPU expression of FluidSimulation::advance
+(/root/reference/src/fluidsimulation.cpp:135-168): one pure function
+`advance(state, dt, cfg)` whose CFL-substep while-loop, the seven simulation
+stages, and both linear solves all run inside a single XLA computation (the
+host dispatches exactly once per frame — essential here, where per-dispatch
+latency is ~34ms).
+
+Particle work uses three bucketing passes per substep (see ops/buckets.py):
+  A: keyed by current positions — liquid SDF, P2G, PIC/FLIP G2P, RK2 stage 1
+  B: keyed by RK2 midpoints — RK2 stage 2 velocity sample
+  C: keyed by advected positions — solid SDF pushback
+
+Divergences from the reference, all documented where they occur:
+- MIC(0) preconditioning -> Jacobi (parallel), float64 -> float32 with a
+  relative tolerance floor
+- the reference applies solid pushback before the AABB clamp
+  (fluidsimulation.cpp:322-337); we clamp, push back, and clamp again so the
+  pushback's SDF sample is guaranteed home-cell aligned (differs only for
+  particles that left the domain box in one substep)
+- an overall substep-count cap (cfg.max_substeps) bounds the while loop
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import SimConfig
+from ..ops import particle_grid as pg
+from ..ops.buckets import build_buckets, gather_results
+from ..ops.extrapolate import extrapolate_velocity_field
+from ..ops.grids import (
+    face_borders_fluid_u,
+    face_borders_fluid_v,
+    face_borders_fluid_w,
+)
+from ..solvers import pressure as psolver
+from ..solvers import viscosity as vsolver
+from .state import SimState, StepDiagnostics
+
+_P2G_EPS = 1e-9  # weight threshold (fluidsimulation.cpp:423-431)
+
+
+def _clamp_bounds(cfg: SimConfig):
+    """Particle containment box: domain AABB expanded by -2dx - 1e-4 (i.e.
+    inset dx + 5e-5 per side, fluidsimulation.cpp:319-320, aabb.cpp:118-124)
+    with the nearest-point clamp's 1e-6 pullback on the high side
+    (aabb.cpp:217-234)."""
+    lo = cfg.dx + 0.5e-4
+    his = [
+        cfg.isize * cfg.dx - cfg.dx - 0.5e-4 - 1e-6,
+        cfg.jsize * cfg.dx - cfg.dx - 0.5e-4 - 1e-6,
+        cfg.ksize * cfg.dx - cfg.dx - 0.5e-4 - 1e-6,
+    ]
+    return (
+        jnp.array([lo, lo, lo], jnp.float32),
+        jnp.array(his, jnp.float32),
+    )
+
+
+def _max_velocity(u, v, w):
+    """CFL velocity magnitude (fluidsimulation.cpp:241-269): max component
+    magnitude over all faces."""
+    return jnp.maximum(
+        jnp.max(jnp.abs(u)),
+        jnp.maximum(jnp.max(jnp.abs(v)), jnp.max(jnp.abs(w))),
+    )
+
+
+def step(state: SimState, dt, cfg: SimConfig):
+    """One CFL substep (the body of the reference's advance loop,
+    fluidsimulation.cpp:144-166). Returns (state, diagnostics pieces)."""
+    dx = cfg.dx
+    shape = cfg.grid_shape
+    solid = state.solid
+
+    # ---------------- PASS A: bucket by position ----------------
+    table_a = build_buckets(
+        state.pos,
+        (
+            state.pos[:, 0], state.pos[:, 1], state.pos[:, 2],
+            state.vel[:, 0], state.vel[:, 1], state.vel[:, 2],
+        ),
+        dx,
+        shape,
+        cfg.bucket_capacity,
+    )
+
+    # liquid SDF (fluidsimulation.cpp:354-362)
+    liquid_phi = pg.liquid_sdf_from_particles(
+        table_a, shape, dx, cfg.particle_radius, solid.center_phi
+    )
+    fluid = liquid_phi < 0
+    borders_u = face_borders_fluid_u(fluid)
+    borders_v = face_borders_fluid_v(fluid)
+    borders_w = face_borders_fluid_w(fluid)
+
+    # P2G transfer (fluidsimulation.cpp:364-519)
+    def transfer(component, face_shape, borders, field_idx):
+        vsum, wsum = pg.p2g_component(
+            table_a, table_a.fields[field_idx], shape, dx, component, face_shape
+        )
+        is_set = wsum >= _P2G_EPS
+        vals = vsum / jnp.maximum(wsum, _P2G_EPS)
+        mask = is_set & borders
+        return jnp.where(mask, vals, 0.0), mask
+
+    u, valid_u = transfer("u", cfg.u_shape, borders_u, 3)
+    v, valid_v = transfer("v", cfg.v_shape, borders_v, 4)
+    w, valid_w = transfer("w", cfg.w_shape, borders_w, 5)
+
+    u, v, w, valid_u, valid_v, valid_w = extrapolate_velocity_field(
+        u, v, w, valid_u, valid_v, valid_w, cfg.extrapolation_layers
+    )
+    saved_u, saved_v, saved_w = u, v, w  # FLIP delta baseline (":518")
+
+    # body force on faces bordering fluid (fluidsimulation.cpp:271-312)
+    u = jnp.where(borders_u, u + state.gravity[0] * dt, u)
+    v = jnp.where(borders_v, v + state.gravity[1] * dt, v)
+    w = jnp.where(borders_w, w + state.gravity[2] * dt, w)
+
+    # viscosity (fluidsimulation.cpp:170-196), skipped when all zero
+    states = vsolver.FaceStates(solid.solid_u, solid.solid_v, solid.solid_w)
+
+    def visc_on(uvw):
+        uu, vv, ww = uvw
+        volumes = vsolver.compute_volume_grids(liquid_phi, cfg)
+        sys = vsolver.build_viscosity_system(
+            uu, vv, ww, volumes, states, state.viscosity, dt, cfg
+        )
+        result = vsolver.solve_viscosity(sys, cfg)
+        uu, vv, ww = vsolver.apply_viscosity_solution(uu, vv, ww, sys, result, cfg)
+        return (uu, vv, ww), result.iterations, result.residual
+
+    def visc_off(uvw):
+        return uvw, jnp.int32(0), jnp.float32(0.0)
+
+    (u, v, w), visc_iters, visc_res = lax.cond(
+        jnp.any(state.viscosity > 0), visc_on, visc_off, (u, v, w)
+    )
+
+    # pressure projection (fluidsimulation.cpp:522-531)
+    psys = psolver.build_pressure_system(
+        u, v, w, liquid_phi, solid.weight_u, solid.weight_v, solid.weight_w,
+        dt, cfg,
+    )
+    pres = psolver.solve_pressure(psys, cfg)
+    u, v, w, valid_u, valid_v, valid_w = psolver.apply_pressure(
+        u, v, w, pres.x, liquid_phi,
+        solid.weight_u, solid.weight_v, solid.weight_w, dt, cfg,
+    )
+    u, v, w, valid_u, valid_v, valid_w = extrapolate_velocity_field(
+        u, v, w, valid_u, valid_v, valid_w, cfg.extrapolation_layers
+    )
+
+    # constrain: zero both fields at fully-closed faces
+    # (fluidsimulation.cpp:696-729)
+    u = jnp.where(solid.weight_u == 0, 0.0, u)
+    v = jnp.where(solid.weight_v == 0, 0.0, v)
+    w = jnp.where(solid.weight_w == 0, 0.0, w)
+    saved_u = jnp.where(solid.weight_u == 0, 0.0, saved_u)
+    saved_v = jnp.where(solid.weight_v == 0, 0.0, saved_v)
+    saved_w = jnp.where(solid.weight_w == 0, 0.0, saved_w)
+
+    # ---------------- G2P + advection ----------------
+    # PIC/FLIP velocity update (fluidsimulation.cpp:341-352); particle
+    # positions are unchanged since pass A, so its tables are still aligned.
+    new_u_t, new_v_t, new_w_t = pg.sample_mac_at_table(table_a, u, v, w, dx)
+    old_u_t, old_v_t, old_w_t = pg.sample_mac_at_table(
+        table_a, saved_u, saved_v, saved_w, dx
+    )
+    r = jnp.float32(cfg.ratio_pic_flip)
+    pvx, pvy, pvz = table_a.fields[3], table_a.fields[4], table_a.fields[5]
+    vel_x = r * new_u_t + (1.0 - r) * (pvx + new_u_t - old_u_t)
+    vel_y = r * new_v_t + (1.0 - r) * (pvy + new_v_t - old_v_t)
+    vel_z = r * new_w_t + (1.0 - r) * (pvz + new_w_t - old_w_t)
+
+    # RK2 stage 1: midpoint from the *grid* velocity at p
+    # (fluidsimulation.cpp:535-541)
+    px_t, py_t, pz_t = table_a.fields[0], table_a.fields[1], table_a.fields[2]
+    mx = px_t + 0.5 * dt * new_u_t
+    my = py_t + 0.5 * dt * new_v_t
+    mz = pz_t + 0.5 * dt * new_w_t
+
+    spx, spy, spz, svx, svy, svz = table_a.sorted
+    flat = gather_results(
+        table_a,
+        (vel_x, vel_y, vel_z, mx, my, mz),
+        fallbacks=(
+            svx, svy, svz,
+            spx + 0.5 * dt * svx, spy + 0.5 * dt * svy, spz + 0.5 * dt * svz,
+        ),
+    )
+    fvel_x, fvel_y, fvel_z, fmx, fmy, fmz = flat
+
+    # ---------------- PASS B: bucket by midpoint ----------------
+    fm = jnp.stack([fmx, fmy, fmz], axis=1)
+    table_b = build_buckets(
+        fm,
+        (fmx, fmy, fmz, spx, spy, spz, fvel_x, fvel_y, fvel_z),
+        dx,
+        shape,
+        cfg.bucket_capacity,
+    )
+    bmx, bmy, bmz = table_b.fields[0], table_b.fields[1], table_b.fields[2]
+    ext = jnp.array(
+        [shape[0] * dx, shape[1] * dx, shape[2] * dx], jnp.float32
+    )
+    inside_m = (
+        (bmx >= 0) & (bmx < ext[0])
+        & (bmy >= 0) & (bmy < ext[1])
+        & (bmz >= 0) & (bmz < ext[2])
+    )
+    v2x, v2y, v2z = pg.sample_mac_at_table(table_b, u, v, w, dx, inside_m)
+    npx = table_b.fields[3] + dt * v2x
+    npy = table_b.fields[4] + dt * v2y
+    npz = table_b.fields[5] + dt * v2z
+
+    sbmx, sbmy, sbmz, sbpx, sbpy, sbpz, sbvx, sbvy, sbvz = table_b.sorted
+    fnpx, fnpy, fnpz = gather_results(
+        table_b,
+        (npx, npy, npz),
+        fallbacks=(
+            sbpx + dt * sbvx, sbpy + dt * sbvy, sbpz + dt * sbvz,
+        ),
+    )
+
+    # ---------------- PASS C: clamp + solid pushback ----------------
+    lo, hi = _clamp_bounds(cfg)
+    cpx = jnp.clip(fnpx, lo[0], hi[0])
+    cpy = jnp.clip(fnpy, lo[1], hi[1])
+    cpz = jnp.clip(fnpz, lo[2], hi[2])
+
+    table_c = build_buckets(
+        jnp.stack([cpx, cpy, cpz], axis=1),
+        (cpx, cpy, cpz, sbvx, sbvy, sbvz),
+        dx,
+        shape,
+        cfg.bucket_capacity,
+    )
+    dpx, dpy, dpz = pg.solid_pushback_displacement(
+        table_c, solid.phi, dx, shape
+    )
+    fx, fy, fz = gather_results(
+        table_c,
+        (table_c.fields[0] + dpx, table_c.fields[1] + dpy,
+         table_c.fields[2] + dpz),
+        fallbacks=table_c.sorted[0:3],
+    )
+    fx = jnp.clip(fx, lo[0], hi[0])
+    fy = jnp.clip(fy, lo[1], hi[1])
+    fz = jnp.clip(fz, lo[2], hi[2])
+
+    new_pos = jnp.stack([fx, fy, fz], axis=1)
+    new_vel = jnp.stack(
+        [table_c.sorted[3], table_c.sorted[4], table_c.sorted[5]], axis=1
+    )
+
+    new_state = state._replace(pos=new_pos, vel=new_vel, u=u, v=v, w=w)
+    diag = dict(
+        pressure_iterations=pres.iterations,
+        pressure_residual=pres.residual,
+        viscosity_iterations=visc_iters,
+        viscosity_residual=visc_res,
+        bucket_overflow=table_a.n_overflow
+        + table_b.n_overflow
+        + table_c.n_overflow,
+        liquid_cells=jnp.sum(fluid),
+    )
+    return new_state, diag
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def advance(state: SimState, dt, cfg: SimConfig):
+    """Advance the simulation by a frame of length dt with CFL substeps
+    (fluidsimulation.cpp:135-168). Returns (state, StepDiagnostics)."""
+    dt = jnp.asarray(dt, jnp.float32)
+
+    zero_diag = StepDiagnostics(
+        substeps=jnp.int32(0),
+        pressure_iterations=jnp.int32(0),
+        pressure_residual=jnp.float32(0),
+        viscosity_iterations=jnp.int32(0),
+        viscosity_residual=jnp.float32(0),
+        max_velocity=jnp.float32(0),
+        bucket_overflow=jnp.int32(0),
+        liquid_cells=jnp.int32(0),
+    )
+
+    def cond(carry):
+        t, _, n, _ = carry
+        return (t < dt) & (n < cfg.max_substeps)
+
+    def body(carry):
+        t, st, n, diag = carry
+        maxvel = _max_velocity(st.u, st.v, st.w)
+        cfl = jnp.where(
+            maxvel > 0,
+            jnp.float32(cfg.cfl_number * cfg.dx) / maxvel,
+            jnp.float32(jnp.inf),
+        )
+        substep = jnp.minimum(cfl, dt - t)
+        st, d = step(st, substep, cfg)
+        diag = StepDiagnostics(
+            substeps=diag.substeps + 1,
+            pressure_iterations=diag.pressure_iterations
+            + d["pressure_iterations"],
+            pressure_residual=d["pressure_residual"],
+            viscosity_iterations=diag.viscosity_iterations
+            + d["viscosity_iterations"],
+            viscosity_residual=d["viscosity_residual"],
+            max_velocity=jnp.maximum(diag.max_velocity, maxvel),
+            bucket_overflow=diag.bucket_overflow + d["bucket_overflow"],
+            liquid_cells=d["liquid_cells"].astype(jnp.int32),
+        )
+        return t + substep, st, n + 1, diag
+
+    _, state, _, diag = lax.while_loop(
+        cond, body, (jnp.float32(0.0), state, jnp.int32(0), zero_diag)
+    )
+    return state, diag

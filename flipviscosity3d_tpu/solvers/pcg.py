@@ -1,0 +1,104 @@
+"""Matrix-free preconditioned conjugate gradient over grid pytrees.
+
+The reference uses two CPU-sequential MIC(0)-preconditioned CG solvers
+(/root/reference/src/pressuresolver.cpp:521-567 and
+/root/reference/src/pcgsolver/pcgsolver.h:241-295). MIC(0) factorization and
+its triangular solves are inherently sequential, so the TPU build keeps the
+same CG iteration structure but swaps in fully-parallel preconditioners
+(Jacobi by default); each iteration is a fused stencil apply + reductions
+under one jit.
+
+Operands are pytrees of grids (a single array for pressure; a (u, v, w)
+tuple for the coupled viscosity system), so the same loop serves both.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def _tree_dot(a, b):
+    leaves_a = jax.tree.leaves(a)
+    leaves_b = jax.tree.leaves(b)
+    return sum(jnp.vdot(x, y) for x, y in zip(leaves_a, leaves_b))
+
+
+def _tree_absmax(a):
+    return jnp.max(
+        jnp.stack([jnp.max(jnp.abs(x)) for x in jax.tree.leaves(a)])
+    )
+
+
+def _tree_axpy(alpha, x, y):
+    return jax.tree.map(lambda xi, yi: yi + alpha * xi, x, y)
+
+
+class PCGResult(NamedTuple):
+    x: object           # solution pytree
+    iterations: jnp.ndarray
+    residual: jnp.ndarray  # final inf-norm of the residual
+    converged: jnp.ndarray
+
+
+def pcg(
+    apply_A: Callable,
+    b,
+    apply_M: Callable,
+    tol,
+    max_iterations: int,
+) -> PCGResult:
+    """Solve A x = b with preconditioned CG, x0 = 0.
+
+    Follows the reference CG structure (pressuresolver.cpp:521-567):
+    convergence test is on the residual inf-norm against an absolute `tol`
+    (callers fold relative scaling into tol). Runs under lax.while_loop with
+    an iteration cap; always returns the current iterate (the reference also
+    returns the partial solution when the pressure solve hits max
+    iterations).
+    """
+    tol = jnp.asarray(tol, jnp.float32)
+    x0 = jax.tree.map(jnp.zeros_like, b)
+    r0 = b
+    z0 = apply_M(r0)
+    sigma0 = _tree_dot(z0, r0)
+    res0 = _tree_absmax(r0)
+
+    def cond(state):
+        _, _, _, _, it, res = state
+        return (res > tol) & (it < max_iterations)
+
+    def body(state):
+        x, r, s, sigma, it, _ = state
+        As = apply_A(s)
+        denom = _tree_dot(s, As)
+        alpha = sigma / jnp.where(denom == 0, 1.0, denom)
+        x = _tree_axpy(alpha, s, x)
+        r = _tree_axpy(-alpha, As, r)
+        z = apply_M(r)
+        sigma_new = _tree_dot(z, r)
+        beta = sigma_new / jnp.where(sigma == 0, 1.0, sigma)
+        s = _tree_axpy(beta, s, z)
+        res = _tree_absmax(r)
+        return x, r, s, sigma_new, it + 1, res
+
+    x, r, s, sigma, it, res = lax.while_loop(
+        cond, body, (x0, r0, z0, sigma0, jnp.int32(0), res0)
+    )
+    return PCGResult(x, it, res, res <= tol)
+
+
+def jacobi_preconditioner(diag_tree):
+    """M^-1 = 1/diag elementwise, identity where diag == 0 (off-mask)."""
+
+    def apply_M(r):
+        return jax.tree.map(
+            lambda ri, di: jnp.where(di > 0, ri / jnp.where(di == 0, 1.0, di), 0.0),
+            r,
+            diag_tree,
+        )
+
+    return apply_M
