@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Headline benchmark: sim substeps/sec at 128^3 grid / ~4M particles with the
+full pressure + viscosity pipeline on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is the ratio against the BASELINE.json north-star target of
+50 steps/sec (>1.0 beats the target).
+
+Scene: a deep pool of liquid (~25% of the domain -> ~4M seeded particles at 8
+per cell) inside the default domain boundary, viscosity 5.0, gravity -9.81.
+Timing forces device sync via .item() (jax.block_until_ready does not
+synchronize on this platform).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+TARGET_STEPS_PER_SEC = 50.0  # BASELINE.json north star (1x TPU v5p)
+
+
+def main():
+    res = int(os.environ.get("BENCH_RESOLUTION", "128"))
+    frames = int(os.environ.get("BENCH_FRAMES", "5"))
+    dt = 0.01
+
+    from flipviscosity3d_tpu import FluidSimulation
+    from flipviscosity3d_tpu.io.trianglemesh import box_mesh
+
+    sim = FluidSimulation()
+    sim.initialize(res, res, res, 1.0 / res)
+
+    # pool filling the bottom ~27% of the open interior -> ~4.2M particles
+    lo = 2.5 / res
+    pool = box_mesh(
+        (lo, lo, lo), (1.0 - lo, 0.285, 1.0 - lo)
+    )
+    sim.add_liquid(pool)
+    sim.set_viscosity(5.0)
+    sim.set_gravity(0.0, -9.81, 0.0)
+
+    n_particles = sim.particle_positions.shape[0]
+    print(
+        f"# bench scene: {res}^3 grid, {n_particles} particles",
+        file=sys.stderr, flush=True,
+    )
+
+    # warmup/compile
+    diag = sim.advance(dt)
+    _ = int(diag.substeps)  # forced sync
+    print("# compile+first frame done", file=sys.stderr, flush=True)
+
+    substeps = 0
+    t0 = time.perf_counter()
+    for _ in range(frames):
+        diag = sim.advance(dt)
+        substeps += int(diag.substeps)  # .item() sync inside int()
+    wall = time.perf_counter() - t0
+
+    steps_per_sec = substeps / wall
+    print(
+        json.dumps(
+            {
+                "metric": f"sim substeps/sec, {res}^3 grid, "
+                f"{n_particles} particles, full pressure+viscosity",
+                "value": round(steps_per_sec, 3),
+                "unit": "steps/s",
+                "vs_baseline": round(steps_per_sec / TARGET_STEPS_PER_SEC, 4),
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,108 +1,12 @@
 #!/usr/bin/env python
-"""Scene driver — the reference's main.cpp as a configurable CLI.
-
-Default scene reproduces /root/reference/src/main.cpp:42-90: a Stanford-bunny
-shaped liquid mass dropped inside a spherical container on a 64^3 grid,
-viscosity 5.0, gravity -9.81 y, 300 frames of dt=0.01, exporting one
-vertices-only OBJ (and/or PLY) of particle positions per frame.
-"""
-
-from __future__ import annotations
-
-import argparse
-import json
+"""Scene driver shim — see flipviscosity3d_tpu/cli.py (the reference's
+main.cpp as a configurable CLI)."""
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-import numpy as np
-
-from flipviscosity3d_tpu import FluidSimulation
-from flipviscosity3d_tpu.io import trianglemesh as tm
-
-SAMPLE_MESHES = "/root/reference/sample_meshes"
-
-
-def parse_args():
-    p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--resolution", type=int, default=64)
-    p.add_argument("--frames", type=int, default=300)
-    p.add_argument("--dt", type=float, default=0.01)
-    p.add_argument("--viscosity", type=float, default=5.0)
-    p.add_argument("--gravity", type=float, nargs=3, default=(0.0, -9.81, 0.0))
-    p.add_argument(
-        "--boundary-mesh", default=f"{SAMPLE_MESHES}/sphere_large.ply"
-    )
-    p.add_argument("--no-invert-boundary", action="store_true",
-                   help="treat the boundary mesh as a solid, not a container")
-    p.add_argument("--liquid-mesh", default=f"{SAMPLE_MESHES}/stanford_bunny.ply")
-    p.add_argument("--output-dir", default="bakefiles")
-    p.add_argument("--export", choices=("obj", "ply", "both", "none"),
-                   default="obj")
-    args = p.parse_args()
-    return args
-
-
-def export_particles(frame, positions, outdir, fmt):
-    mesh = tm.TriangleMesh(vertices=np.asarray(positions, np.float32))
-    name = f"{frame:04d}"
-    if fmt in ("obj", "both"):
-        tm.save_obj(os.path.join(outdir, name + ".obj"), mesh)
-    if fmt in ("ply", "both"):
-        tm.save_ply(os.path.join(outdir, name + ".ply"), mesh)
-
-
-def main():
-    args = parse_args()
-    os.makedirs(args.output_dir, exist_ok=True)
-
-    n = args.resolution
-    dx = 1.0 / n
-    sim = FluidSimulation()
-    sim.initialize(n, n, n, dx)
-
-    boundary = tm.load_ply(args.boundary_mesh)
-    sim.add_boundary(boundary, inverted=not args.no_invert_boundary)
-
-    liquid = tm.load_ply(args.liquid_mesh)
-    sim.add_liquid(liquid)
-
-    sim.set_viscosity(args.viscosity)
-    sim.set_gravity(*args.gravity)
-
-    n_particles = sim.particle_positions.shape[0]
-    print(f"initialized: {n}^3 grid, {n_particles} particles", flush=True)
-
-    for frame in range(args.frames):
-        if args.export != "none":
-            export_particles(
-                frame, sim.particle_positions, args.output_dir, args.export
-            )
-        t0 = time.perf_counter()
-        diag = sim.advance(args.dt)
-        # force device sync for honest timing (axon platform quirk)
-        substeps = int(diag.substeps)
-        wall = time.perf_counter() - t0
-        print(
-            json.dumps(
-                dict(
-                    frame=frame,
-                    wall_s=round(wall, 4),
-                    substeps=substeps,
-                    pressure_iters=int(diag.pressure_iterations),
-                    pressure_residual=float(diag.pressure_residual),
-                    viscosity_iters=int(diag.viscosity_iterations),
-                    viscosity_residual=float(diag.viscosity_residual),
-                    max_velocity=round(float(diag.max_velocity), 4),
-                    liquid_cells=int(diag.liquid_cells),
-                    bucket_overflow=int(diag.bucket_overflow),
-                )
-            ),
-            flush=True,
-        )
-
+from flipviscosity3d_tpu.cli import main
 
 if __name__ == "__main__":
     main()
