@@ -38,6 +38,12 @@ def parse_args():
     p.add_argument("--output-dir", default="bakefiles")
     p.add_argument("--export", choices=("obj", "ply", "both", "none"),
                    default="obj")
+    p.add_argument("--checkpoint-every", type=int, default=0,
+                   help="save an exact-resume npz every N frames")
+    p.add_argument("--resume", default=None,
+                   help="restore SimState from a checkpoint npz")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a jax.profiler trace of frames 2-4")
     args = p.parse_args()
     return args
 
@@ -69,14 +75,37 @@ def main():
     sim.set_viscosity(args.viscosity)
     sim.set_gravity(*args.gravity)
 
+    if args.resume:
+        from flipviscosity3d_tpu.utils.checkpoint import load_state
+
+        sim._state = load_state(args.resume)
+
     n_particles = sim.particle_positions.shape[0]
     print(f"initialized: {n}^3 grid, {n_particles} particles", flush=True)
 
+    profiling = False
     for frame in range(args.frames):
         if args.export != "none":
             export_particles(
                 frame, sim.particle_positions, args.output_dir, args.export
             )
+        if args.checkpoint_every and frame and frame % args.checkpoint_every == 0:
+            from flipviscosity3d_tpu.utils.checkpoint import save_state
+
+            save_state(
+                os.path.join(args.output_dir, f"ckpt_{frame:04d}.npz"),
+                sim.state,
+            )
+        if args.profile_dir and frame == 2:
+            import jax
+
+            jax.profiler.start_trace(args.profile_dir)
+            profiling = True
+        if profiling and frame == 5:
+            import jax
+
+            jax.profiler.stop_trace()
+            profiling = False
         t0 = time.perf_counter()
         diag = sim.advance(args.dt)
         # force device sync for honest timing (axon platform quirk)

@@ -63,8 +63,9 @@ class SimConfig:
     viscosity_acceptable_error: float = 10.0
 
     # Bucketed particle-engine capacity: max particles tracked per grid cell.
-    # Seeding places 8 per cell; FLIP compression can exceed that transiently.
-    bucket_capacity: int = 16
+    # Seeding places 8 per cell; FLIP compression packs more (the 64^3 bunny
+    # scene peaks above 16/cell), so 24 keeps overflow at zero in practice.
+    bucket_capacity: int = 24
 
     # Safety bound on CFL substeps per advance() call (reference has no cap;
     # its while-loop runs until t reaches dt).

@@ -133,7 +133,7 @@ def step(state: SimState, dt, cfg: SimConfig):
         sys = vsolver.build_viscosity_system(
             uu, vv, ww, volumes, states, state.viscosity, dt, cfg
         )
-        result = vsolver.solve_viscosity(sys, cfg)
+        result = vsolver.solve_viscosity(sys, cfg, warm_start=(uu, vv, ww))
         uu, vv, ww = vsolver.apply_viscosity_solution(uu, vv, ww, sys, result, cfg)
         return (uu, vv, ww), result.iterations, result.residual
 

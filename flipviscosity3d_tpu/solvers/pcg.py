@@ -50,8 +50,9 @@ def pcg(
     apply_M: Callable,
     tol,
     max_iterations: int,
+    x0=None,
 ) -> PCGResult:
-    """Solve A x = b with preconditioned CG, x0 = 0.
+    """Solve A x = b with preconditioned CG.
 
     Follows the reference CG structure (pressuresolver.cpp:521-567):
     convergence test is on the residual inf-norm against an absolute `tol`
@@ -59,10 +60,19 @@ def pcg(
     an iteration cap; always returns the current iterate (the reference also
     returns the partial solution when the pressure solve hits max
     iterations).
+
+    Unlike the reference (which always starts from zero), callers may pass a
+    warm-start x0; CG converges to the same solution with fewer iterations
+    when x0 is close (e.g. the pre-solve velocity field for the viscosity
+    system).
     """
     tol = jnp.asarray(tol, jnp.float32)
-    x0 = jax.tree.map(jnp.zeros_like, b)
-    r0 = b
+    if x0 is None:
+        x0 = jax.tree.map(jnp.zeros_like, b)
+        r0 = b
+    else:
+        Ax0 = apply_A(x0)
+        r0 = jax.tree.map(lambda bi, ai: bi - ai, b, Ax0)
     z0 = apply_M(r0)
     sigma0 = _tree_dot(z0, r0)
     res0 = _tree_absmax(r0)

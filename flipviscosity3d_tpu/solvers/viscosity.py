@@ -71,11 +71,13 @@ def _ext_axis(arr, axis):
 
 
 def _avg_axis(arr, axis):
-    """corner[n] = 0.5*(arr[n-1] + arr[n]) with out-of-range -> 0."""
+    """corner[n] = 0.5*(arr[n-1] + arr[n]) with out-of-range -> 0; the
+    volume grid on a zero-offset axis has len+1 entries, so its corner
+    array has len+2."""
     pads_lo = [(0, 0)] * 3
-    pads_lo[axis] = (1, 0)
+    pads_lo[axis] = (1, 1)
     pads_hi = [(0, 0)] * 3
-    pads_hi[axis] = (0, 1)
+    pads_hi[axis] = (0, 2)
     return 0.5 * (jnp.pad(arr, pads_lo) + jnp.pad(arr, pads_hi))
 
 
@@ -357,9 +359,12 @@ def apply_viscosity_matrix(sys: ViscositySystem, x, cfg: SimConfig):
     return yu, yv, yw
 
 
-def solve_viscosity(sys: ViscositySystem, cfg: SimConfig):
+def solve_viscosity(sys: ViscositySystem, cfg: SimConfig, warm_start=None):
     """PCG on the coupled system; relative inf-norm tolerance like the
-    reference PCGSolver (pcgsolver.h:255-258)."""
+    reference PCGSolver (pcgsolver.h:255-258). `warm_start` (the pre-solve
+    velocity field, masked to rows) typically cuts iterations substantially
+    versus the reference's zero start while converging to the same solution.
+    """
     rhs = sys.rhs
     bnorm = jnp.max(
         jnp.stack([jnp.max(jnp.abs(r)) for r in rhs])
@@ -368,12 +373,18 @@ def solve_viscosity(sys: ViscositySystem, cfg: SimConfig):
     diag_masked = tuple(
         jnp.where(m, d, 0.0) for m, d in zip(sys.in_mat, sys.diag)
     )
+    x0 = None
+    if warm_start is not None:
+        x0 = tuple(
+            jnp.where(m, x, 0.0) for m, x in zip(sys.in_mat, warm_start)
+        )
     result = pcg(
         lambda x: apply_viscosity_matrix(sys, x, cfg),
         rhs,
         jacobi_preconditioner(diag_masked),
         tol,
         cfg.viscosity_solve_max_iterations,
+        x0=x0,
     )
     return result
 

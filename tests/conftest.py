@@ -2,16 +2,26 @@
 mesh-sharded JAX without TPU hardware); also keeps unit tests off the
 tunneled TPU whose per-dispatch latency (~34ms) dominates small ops.
 
-This environment presets JAX_PLATFORMS=axon and a sitecustomize that
-registers the axon PJRT plugin whenever PALLAS_AXON_POOL_IPS is set, so both
-must be overridden (not setdefault'd) before jax is imported.
-"""
+This machine's sitecustomize imports jax and registers the axon TPU plugin
+at interpreter startup, so setting JAX_PLATFORMS in the environment here is
+too late — jax.config must be updated directly (still before any backend is
+used)."""
 import os
 
-os.environ["PALLAS_AXON_POOL_IPS"] = ""
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+assert all(d.platform == "cpu" for d in jax.devices()), (
+    "tests must run on the virtual CPU mesh, got: " + str(jax.devices())
+)
+assert jax.device_count() >= 8, (
+    "expected 8 virtual CPU devices, got " + str(jax.device_count())
+)
