@@ -71,6 +71,10 @@ class SimConfig:
     # its while-loop runs until t reaches dt).
     max_substeps: int = 64
 
+    # Use the fused Pallas TPU kernel for the viscosity CG matvec (the
+    # dominant per-substep cost); the XLA formulation is the fallback.
+    use_pallas_viscosity: bool = False
+
     @property
     def grid_shape(self) -> tuple[int, int, int]:
         return (self.isize, self.jsize, self.ksize)

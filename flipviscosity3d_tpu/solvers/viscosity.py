@@ -292,7 +292,17 @@ def build_viscosity_system(
         )
     )
     in_mat = (in_u, in_v, in_w)
-    diag = (diag_u, diag_v, diag_w)
+    # Premask all coefficients by their row mask: the operator output is then
+    # zero outside rows by construction (no output masking pass needed), and
+    # column gating still comes from x being supported on rows only.
+    diag = (
+        jnp.where(in_u, diag_u, 0.0),
+        jnp.where(in_v, diag_v, 0.0),
+        jnp.where(in_w, diag_w, 0.0),
+    )
+    fU = {k: jnp.where(in_u, v, 0.0) for k, v in fU.items()}
+    fV = {k: jnp.where(in_v, v, 0.0) for k, v in fV.items()}
+    fW = {k: jnp.where(in_w, v, 0.0) for k, v in fW.items()}
     vol = (vol_u_face, vol_v_face, vol_w_face)
     factors = (fU, fV, fW)
 
@@ -351,12 +361,19 @@ def _apply_coupling(factors, xu, xv, xw, cfg: SimConfig):
 
 
 def apply_viscosity_matrix(sys: ViscositySystem, x, cfg: SimConfig):
+    """Coupled operator apply; coefficients are premasked at build time so
+    the output is supported on rows with no masking pass."""
+    if cfg.use_pallas_viscosity:
+        from ..ops.pallas_stencil import viscosity_matvec_pallas
+
+        return viscosity_matvec_pallas(x, sys.factors, sys.diag)
     xu, xv, xw = x
     cu, cv, cw = _apply_coupling(sys.factors, xu, xv, xw, cfg)
-    yu = jnp.where(sys.in_mat[0], sys.diag[0] * xu + cu, 0.0)
-    yv = jnp.where(sys.in_mat[1], sys.diag[1] * xv + cv, 0.0)
-    yw = jnp.where(sys.in_mat[2], sys.diag[2] * xw + cw, 0.0)
-    return yu, yv, yw
+    return (
+        sys.diag[0] * xu + cu,
+        sys.diag[1] * xv + cv,
+        sys.diag[2] * xw + cw,
+    )
 
 
 def solve_viscosity(sys: ViscositySystem, cfg: SimConfig, warm_start=None):
@@ -370,9 +387,7 @@ def solve_viscosity(sys: ViscositySystem, cfg: SimConfig, warm_start=None):
         jnp.stack([jnp.max(jnp.abs(r)) for r in rhs])
     )
     tol = jnp.float32(cfg.viscosity_solve_rtol) * bnorm
-    diag_masked = tuple(
-        jnp.where(m, d, 0.0) for m, d in zip(sys.in_mat, sys.diag)
-    )
+    diag_masked = sys.diag  # premasked at build time
     x0 = None
     if warm_start is not None:
         x0 = tuple(
