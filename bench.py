@@ -21,7 +21,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-import numpy as np
+
+import jax as _jax
+
+_jax.config.update("jax_compilation_cache_dir",
+                   os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                  "/tmp/flip3d_jax_cache"))
+_jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
 TARGET_STEPS_PER_SEC = 50.0  # BASELINE.json north star (1x TPU v5p)
 
@@ -35,7 +41,10 @@ def main():
     from flipviscosity3d_tpu.io.trianglemesh import box_mesh
 
     sim = FluidSimulation()
-    sim.initialize(res, res, res, 1.0 / res)
+    # the pool seeds exactly 8 particles/cell and runs a few frames; capacity
+    # 16 keeps overflow at 0 while fitting the 4M-particle tables in HBM
+    cap = int(os.environ.get("BENCH_BUCKET_CAPACITY", "16"))
+    sim.initialize(res, res, res, 1.0 / res, bucket_capacity=cap)
 
     # pool filling the bottom ~27% of the open interior -> ~4.2M particles
     lo = 2.5 / res

@@ -11,13 +11,20 @@ from __future__ import annotations
 import argparse
 import json
 import os
-import sys
+
 import time
 
 import numpy as np
 
 from flipviscosity3d_tpu import FluidSimulation
 from flipviscosity3d_tpu.io import trianglemesh as tm
+
+import jax as _jax
+
+_jax.config.update("jax_compilation_cache_dir",
+                   os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                  "/tmp/flip3d_jax_cache"))
+_jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
 SAMPLE_MESHES = "/root/reference/sample_meshes"
 

@@ -3,57 +3,17 @@
 import numpy as np
 
 from flipviscosity3d_tpu.io import trianglemesh as tm
+from flipviscosity3d_tpu.io.primitives import sphere
 from flipviscosity3d_tpu.ops.mesh_sdf import mesh_to_sdf
 
 DX = 1.0 / 16.0
 SHAPE = (16, 16, 16)
 
 
-def _icosphere(center, radius, subdiv=2):
-    """Geodesic sphere for analytic comparison."""
-    t = (1 + 5 ** 0.5) / 2
-    verts = np.array(
-        [
-            (-1, t, 0), (1, t, 0), (-1, -t, 0), (1, -t, 0),
-            (0, -1, t), (0, 1, t), (0, -1, -t), (0, 1, -t),
-            (t, 0, -1), (t, 0, 1), (-t, 0, -1), (-t, 0, 1),
-        ],
-        np.float64,
-    )
-    faces = [
-        (0, 11, 5), (0, 5, 1), (0, 1, 7), (0, 7, 10), (0, 10, 11),
-        (1, 5, 9), (5, 11, 4), (11, 10, 2), (10, 7, 6), (7, 1, 8),
-        (3, 9, 4), (3, 4, 2), (3, 2, 6), (3, 6, 8), (3, 8, 9),
-        (4, 9, 5), (2, 4, 11), (6, 2, 10), (8, 6, 7), (9, 8, 1),
-    ]
-    for _ in range(subdiv):
-        new_faces = []
-        cache = {}
-        verts = list(verts)
-
-        def midpoint(a, b):
-            key = (min(a, b), max(a, b))
-            if key not in cache:
-                cache[key] = len(verts)
-                verts.append((np.asarray(verts[a]) + np.asarray(verts[b])) / 2)
-            return cache[key]
-
-        for a, b, c in faces:
-            ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
-            new_faces += [(a, ab, ca), (b, bc, ab), (c, ca, bc), (ab, bc, ca)]
-        faces = new_faces
-        verts = np.asarray(verts, np.float64)
-    verts = verts / np.linalg.norm(verts, axis=1, keepdims=True)
-    return tm.TriangleMesh(
-        (center + radius * verts).astype(np.float32),
-        np.asarray(faces, np.int32),
-    )
-
-
 def test_sphere_sdf_matches_analytic():
     center = np.array([0.5, 0.5, 0.5])
     radius = 0.3
-    mesh = _icosphere(center, radius, subdiv=3)
+    mesh = sphere(center, radius, subdivisions=3)
     sdf = mesh_to_sdf(mesh.vertices, mesh.triangles, SHAPE, DX)
     phi = np.asarray(sdf.phi)
 

@@ -76,3 +76,30 @@ def test_box_mesh():
     lo, hi = mesh.aabb()
     np.testing.assert_allclose(lo, [1, 1, 1])
     np.testing.assert_allclose(hi, [2, 3, 4])
+
+
+def test_primitives():
+    from flipviscosity3d_tpu.io import primitives as prim
+
+    s = prim.sphere((0.5, 0.5, 0.5), 0.2, subdivisions=2)
+    r = np.linalg.norm(s.vertices - 0.5, axis=1)
+    np.testing.assert_allclose(r, 0.2, atol=1e-6)
+    assert len(s.triangles) == 20 * 4 ** 2
+
+    c = prim.cube((0.5, 0.5, 0.5), 0.4)
+    lo, hi = c.aabb()
+    np.testing.assert_allclose(lo, 0.3, atol=1e-6)
+    np.testing.assert_allclose(hi, 0.7, atol=1e-6)
+
+    rod = prim.rod((0.5, 0.5, 0.5), 0.1, 0.6, axis=0)
+    lo, hi = rod.aabb()
+    np.testing.assert_allclose(hi[0] - lo[0], 0.6, atol=1e-6)
+    np.testing.assert_allclose(hi[1] - lo[1], 0.2, atol=1e-2)
+
+    sht = prim.sheet((0.5, 0.5, 0.5), 0.6, 0.4, 0.05, normal_axis=1)
+    lo, hi = sht.aabb()
+    np.testing.assert_allclose(hi[1] - lo[1], 0.05, atol=1e-6)
+
+    cn = prim.cone((0.5, 0.2, 0.5), 0.15, 0.5)
+    lo, hi = cn.aabb()
+    np.testing.assert_allclose(hi[1] - lo[1], 0.5, atol=1e-6)

@@ -7,7 +7,7 @@ viscositysolver.cpp:374-664 (states, factors, 14 couplings, solid RHS terms)
 and checks the matrix-free apply + RHS entrywise.
 """
 
-import functools
+
 
 import jax
 import jax.numpy as jnp
