@@ -51,7 +51,26 @@ def parse_args():
                    help="restore SimState from a checkpoint npz")
     p.add_argument("--profile-dir", default=None,
                    help="capture a jax.profiler trace of frames 2-4")
+    p.add_argument("--scene", default=None,
+                   help="JSON scene spec; keys mirror the CLI flags "
+                        "(resolution, frames, dt, viscosity, gravity, "
+                        "boundary_mesh, invert_boundary, liquid_meshes, "
+                        "output_dir, export) plus SimConfig overrides under "
+                        "'config'")
     args = p.parse_args()
+    if args.scene:
+        with open(args.scene) as f:
+            spec = json.load(f)
+        defaults = {a.dest: a.default for a in p._actions}
+        for key, val in spec.items():
+            if key in ("config", "liquid_meshes", "invert_boundary"):
+                continue
+            # explicit command-line flags win over the scene file
+            if getattr(args, key, None) == defaults.get(key):
+                setattr(args, key, val)
+        args.scene_spec = spec
+    else:
+        args.scene_spec = {}
     return args
 
 
@@ -71,13 +90,16 @@ def main():
     n = args.resolution
     dx = 1.0 / n
     sim = FluidSimulation()
-    sim.initialize(n, n, n, dx)
+    sim.initialize(n, n, n, dx, **args.scene_spec.get("config", {}))
 
     boundary = tm.load_ply(args.boundary_mesh)
-    sim.add_boundary(boundary, inverted=not args.no_invert_boundary)
+    inverted = args.scene_spec.get(
+        "invert_boundary", not args.no_invert_boundary
+    )
+    sim.add_boundary(boundary, inverted=inverted)
 
-    liquid = tm.load_ply(args.liquid_mesh)
-    sim.add_liquid(liquid)
+    for mesh_path in args.scene_spec.get("liquid_meshes", [args.liquid_mesh]):
+        sim.add_liquid(tm.load_ply(mesh_path))
 
     sim.set_viscosity(args.viscosity)
     sim.set_gravity(*args.gravity)

@@ -206,6 +206,7 @@ def step(state: SimState, dt, cfg: SimConfig):
         dx,
         shape,
         cfg.bucket_capacity,
+        n_table_fields=6,  # velocities only pass through via .sorted
     )
     bmx, bmy, bmz = table_b.fields[0], table_b.fields[1], table_b.fields[2]
     ext = jnp.array(
@@ -242,6 +243,7 @@ def step(state: SimState, dt, cfg: SimConfig):
         dx,
         shape,
         cfg.bucket_capacity,
+        n_table_fields=3,  # pushback only reads positions
     )
     dpx, dpy, dpz = pg.solid_pushback_displacement(
         table_c, solid.phi, dx, shape

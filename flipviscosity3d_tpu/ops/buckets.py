@@ -61,6 +61,7 @@ def build_buckets(
     grid_shape,
     capacity: int,
     default_far: float = 1.0e8,
+    n_table_fields: int | None = None,
 ) -> BucketTable:
     """Sort particles by the cell containing `key_pos` and build dense tables.
 
@@ -68,6 +69,10 @@ def build_buckets(
     are the particle positions used by the dense kernels. Empty slots hold
     `default_far` in the first three fields (so distances are huge and kernel
     weights vanish without an explicit mask) and 0 elsewhere.
+
+    Only the first `n_table_fields` payload entries are scattered into dense
+    tables (scatters are the expensive part); the rest ride along in the sort
+    and are available via `.sorted` (pass-through data for later passes).
     """
     n = key_pos.shape[0]
     n_cells = grid_shape[0] * grid_shape[1] * grid_shape[2]
@@ -91,7 +96,7 @@ def build_buckets(
 
     # One scatter per field: on TPU, XLA's scatter is ~2x faster over
     # independent columns than over (N, F) rows (the reverse of gather).
-    n_fields = len(payload_s)
+    n_fields = len(payload_s) if n_table_fields is None else n_table_fields
     fields = []
     for f in range(n_fields):
         default = default_far if f < 3 else 0.0
