@@ -91,28 +91,27 @@ def step(state: SimState, dt, cfg: SimConfig):
         cfg.bucket_capacity,
     )
 
-    # liquid SDF (fluidsimulation.cpp:354-362)
-    liquid_phi = pg.liquid_sdf_from_particles(
-        table_a, shape, dx, cfg.particle_radius, solid.center_phi
+    # liquid SDF + P2G transfer, fused over one sweep of the 27 cell offsets
+    # (fluidsimulation.cpp:354-362 and :364-519)
+    liquid_phi, p2g_sums = pg.p2g_and_sdf(
+        table_a, shape, dx, cfg.particle_radius, solid.center_phi,
+        (cfg.u_shape, cfg.v_shape, cfg.w_shape),
     )
     fluid = liquid_phi < 0
     borders_u = face_borders_fluid_u(fluid)
     borders_v = face_borders_fluid_v(fluid)
     borders_w = face_borders_fluid_w(fluid)
 
-    # P2G transfer (fluidsimulation.cpp:364-519)
-    def transfer(component, face_shape, borders, field_idx):
-        vsum, wsum = pg.p2g_component(
-            table_a, table_a.fields[field_idx], shape, dx, component, face_shape
-        )
+    def combine(sums, borders):
+        vsum, wsum = sums
         is_set = wsum >= _P2G_EPS
         vals = vsum / jnp.maximum(wsum, _P2G_EPS)
         mask = is_set & borders
         return jnp.where(mask, vals, 0.0), mask
 
-    u, valid_u = transfer("u", cfg.u_shape, borders_u, 3)
-    v, valid_v = transfer("v", cfg.v_shape, borders_v, 4)
-    w, valid_w = transfer("w", cfg.w_shape, borders_w, 5)
+    u, valid_u = combine(p2g_sums[0], borders_u)
+    v, valid_v = combine(p2g_sums[1], borders_v)
+    w, valid_w = combine(p2g_sums[2], borders_w)
 
     u, v, w, valid_u, valid_v, valid_w = extrapolate_velocity_field(
         u, v, w, valid_u, valid_v, valid_w, cfg.extrapolation_layers

@@ -80,6 +80,68 @@ def liquid_sdf_from_particles(table: BucketTable, grid_shape, dx, radius,
     return phi
 
 
+def p2g_and_sdf(table: BucketTable, grid_shape, dx, radius, solid_center_phi,
+                face_shapes):
+    """Fused pass A transfer: liquid SDF + all three P2G components in one
+    sweep over the 27 cell offsets, reading the position/velocity tables once
+    per offset instead of four times (the P2G windows are subsets of the SDF
+    window: component axis {0,1}, transverse {-1,0,1}).
+
+    Returns (phi, [(val_sum, w_sum) per component]).
+    """
+    px, py, pz = table.fields[0], table.fields[1], table.fields[2]
+    vels = (table.fields[3], table.fields[4], table.fields[5])
+    coords = cell_coords(grid_shape).astype(jnp.float32)
+    max_dist = jnp.float32(3.0 * dx)
+
+    comp_axes = {"u": 0, "v": 1, "w": 2}
+    offs = {c: _MAC_OFFSETS[c] for c in "uvw"}
+
+    phi = jnp.full(grid_shape, max_dist, jnp.float32)
+    sums = {c: (jnp.zeros(fs, jnp.float32), jnp.zeros(fs, jnp.float32))
+            for c, fs in zip("uvw", face_shapes)}
+
+    # per-axis absolute offset of cells/faces, reused across offsets
+    cx = coords[0] * dx
+    cy = coords[1] * dx
+    cz = coords[2] * dx
+
+    for o in itertools.product((-1, 0, 1), repeat=3):
+        neg = tuple(-v for v in o)
+        # --- SDF: distance from particles to the offset cell center ---
+        dxp = cx[None, :] + (o[0] + 0.5) * dx - px
+        dyp = cy[None, :] + (o[1] + 0.5) * dx - py
+        dzp = cz[None, :] + (o[2] + 0.5) * dx - pz
+        d = jnp.sqrt(dxp * dxp + dyp * dyp + dzp * dzp) - radius
+        m = jnp.min(d, axis=0).reshape(grid_shape)
+        phi = jnp.minimum(
+            phi, shifted_read(m, neg, grid_shape, fill=jnp.inf)
+        )
+
+        # --- P2G: components whose window contains this offset ---
+        for ci, comp in enumerate("uvw"):
+            if o[comp_axes[comp]] not in (0, 1):
+                continue
+            off = offs[comp]
+            fx = cx[None, :] + o[0] * dx - (px - off[0] * dx)
+            fy = cy[None, :] + o[1] * dx - (py - off[1] * dx)
+            fz = cz[None, :] + o[2] * dx - (pz - off[2] * dx)
+            d2 = fx * fx + fy * fy + fz * fz
+            w = _wyvill_weight(d2, dx)
+            wv = jnp.sum(w * vels[ci], axis=0).reshape(grid_shape)
+            ws = jnp.sum(w, axis=0).reshape(grid_shape)
+            vs_, ss_ = sums[comp]
+            sums[comp] = (
+                vs_ + shifted_read(wv, neg, face_shapes[ci]),
+                ss_ + shifted_read(ws, neg, face_shapes[ci]),
+            )
+
+    phi = jnp.where(
+        (phi < 0.5 * dx) & (solid_center_phi < 0), -0.5 * jnp.float32(dx), phi
+    )
+    return phi, [sums[c] for c in "uvw"]
+
+
 def _wyvill_weight(d2, dx):
     """Wyvill kernel (fluidsimulation.cpp:385-413), zero at and beyond r=dx."""
     r2 = jnp.float32(dx * dx)

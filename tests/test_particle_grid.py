@@ -173,3 +173,31 @@ def test_pushback_matches_gather_oracle():
     ghat = np.where(norm > 0, grad / np.maximum(norm, 1e-30), grad)
     want = np.where((phi < 0)[:, None], -phi[:, None] * ghat, 0.0)
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_fused_p2g_and_sdf_matches_separate():
+    pos, vel = _particles(250, seed=8)
+    t = _table(jnp.asarray(pos), jnp.asarray(vel))
+    solid_center = np.full(SHAPE, 1.0, np.float32)
+    face_shapes = ((N + 1, N, N), (N, N + 1, N), (N, N, N + 1))
+
+    phi_f, sums = jax.jit(
+        pg.p2g_and_sdf, static_argnames=("grid_shape", "face_shapes")
+    )(t, SHAPE, DX, RADIUS, jnp.asarray(solid_center), face_shapes)
+
+    phi_s = jax.jit(
+        pg.liquid_sdf_from_particles, static_argnames=("grid_shape",)
+    )(t, SHAPE, DX, RADIUS, jnp.asarray(solid_center))
+    np.testing.assert_allclose(np.asarray(phi_f), np.asarray(phi_s), atol=1e-6)
+
+    for ci, comp in enumerate("uvw"):
+        vs_, ws_ = jax.jit(
+            pg.p2g_component,
+            static_argnames=("grid_shape", "component", "face_shape"),
+        )(t, t.fields[3 + ci], SHAPE, DX, comp, face_shapes[ci])
+        np.testing.assert_allclose(
+            np.asarray(sums[ci][0]), np.asarray(vs_), atol=1e-5, err_msg=comp
+        )
+        np.testing.assert_allclose(
+            np.asarray(sums[ci][1]), np.asarray(ws_), atol=1e-5, err_msg=comp
+        )
