@@ -75,6 +75,12 @@ class SimConfig:
     # dominant per-substep cost); the XLA formulation is the fallback.
     use_pallas_viscosity: bool = False
 
+    # Viscosity CG preconditioner: "jacobi" (parallel baseline) or
+    # "multigrid" (block-diagonal semi-geometric V-cycle: ~3-5x fewer
+    # iterations, growing with resolution). The reference's MIC(0) is
+    # inherently sequential and has no TPU analogue.
+    viscosity_preconditioner: str = "multigrid"
+
     @property
     def grid_shape(self) -> tuple[int, int, int]:
         return (self.isize, self.jsize, self.ksize)

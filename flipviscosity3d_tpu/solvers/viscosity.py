@@ -393,10 +393,16 @@ def solve_viscosity(sys: ViscositySystem, cfg: SimConfig, warm_start=None):
         x0 = tuple(
             jnp.where(m, x, 0.0) for m, x in zip(sys.in_mat, warm_start)
         )
+    if cfg.viscosity_preconditioner == "multigrid":
+        from .multigrid import viscosity_mg_preconditioner
+
+        precon = viscosity_mg_preconditioner(sys, cfg)
+    else:
+        precon = jacobi_preconditioner(diag_masked)
     result = pcg(
         lambda x: apply_viscosity_matrix(sys, x, cfg),
         rhs,
-        jacobi_preconditioner(diag_masked),
+        precon,
         tol,
         cfg.viscosity_solve_max_iterations,
         x0=x0,
