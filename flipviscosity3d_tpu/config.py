@@ -76,10 +76,13 @@ class SimConfig:
     use_pallas_viscosity: bool = False
 
     # Viscosity CG preconditioner: "jacobi" (parallel baseline) or
-    # "multigrid" (block-diagonal semi-geometric V-cycle: ~3-5x fewer
-    # iterations, growing with resolution). The reference's MIC(0) is
-    # inherently sequential and has no TPU analogue.
-    viscosity_preconditioner: str = "multigrid"
+    # "multigrid" (block-diagonal semi-geometric V-cycle). The reference's
+    # MIC(0) is inherently sequential and has no TPU analogue. Multigrid
+    # gives 3-5x fewer iterations on shallow hierarchies (<= 3 levels) but
+    # its piecewise-constant transfer operators degrade on deeper ones
+    # (64^3+ scenes stagnated), so Jacobi stays the default until the
+    # transfers are upgraded to trilinear interpolation.
+    viscosity_preconditioner: str = "jacobi"
 
     @property
     def grid_shape(self) -> tuple[int, int, int]:
