@@ -85,3 +85,34 @@ def test_checkpoint_roundtrip(sim, tmp_path):
     np.testing.assert_allclose(
         sim.particle_positions, sim2.particle_positions, atol=1e-6
     )
+
+
+def test_solid_obstacle_excludes_particles():
+    """Non-inverted add_boundary: a solid box inside the domain seeds no
+    particles inside itself and keeps fluid from penetrating deeply."""
+    s = FluidSimulation()
+    s.initialize(N, N, N, 1.0 / N)
+    s.add_boundary(box_mesh((0.4, 0.1, 0.4), (0.6, 0.45, 0.6)))
+    s.add_liquid(box_mesh((0.2, 0.55, 0.2), (0.8, 0.8, 0.8)))
+    s.set_viscosity(0.0)
+    s.set_gravity(0.0, -9.81, 0.0)
+
+    pos0 = s.particle_positions
+    inside0 = (
+        (np.abs(pos0[:, 0] - 0.5) < 0.09)
+        & (pos0[:, 1] > 0.11) & (pos0[:, 1] < 0.44)
+        & (np.abs(pos0[:, 2] - 0.5) < 0.09)
+    )
+    assert inside0.sum() == 0
+
+    for _ in range(6):
+        s.advance(0.01)
+    pos = s.particle_positions
+    # no particle ends up well inside the obstacle (allow a cell of slop at
+    # the SDF surface)
+    deep = (
+        (np.abs(pos[:, 0] - 0.5) < 0.1 - 2.0 / N)
+        & (pos[:, 1] > 0.1 + 2.0 / N) & (pos[:, 1] < 0.45 - 2.0 / N)
+        & (np.abs(pos[:, 2] - 0.5) < 0.1 - 2.0 / N)
+    )
+    assert deep.sum() == 0, f"{deep.sum()} particles inside the obstacle"
