@@ -116,3 +116,26 @@ def test_solid_obstacle_excludes_particles():
         & (np.abs(pos[:, 2] - 0.5) < 0.1 - 2.0 / N)
     )
     assert deep.sum() == 0, f"{deep.sum()} particles inside the obstacle"
+
+
+def test_variable_viscosity_grid():
+    """setViscosity(Array3d&) equivalent: a per-node viscosity grid runs and
+    engages the solve (fluidsimulation.cpp:110-124)."""
+    s = FluidSimulation()
+    s.initialize(N, N, N, 1.0 / N)
+    s.add_liquid(box_mesh((0.2, 0.3, 0.2), (0.8, 0.7, 0.8)))
+    grid = np.linspace(0.5, 8.0, (N + 1) ** 3).reshape(
+        (N + 1, N + 1, N + 1)
+    ).astype(np.float32)
+    s.set_viscosity(grid)
+    s.set_gravity(0.0, -9.81, 0.0)
+    d = s.advance(0.01)
+    assert int(d.viscosity_iterations) > 0
+    assert np.isfinite(s.particle_positions).all()
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        s.set_viscosity(-1.0)
+    with pytest.raises(ValueError):
+        s.set_viscosity(np.ones((3, 3, 3), np.float32))
