@@ -10,6 +10,7 @@ computation in core/step.py.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..config import SimConfig
@@ -107,11 +108,24 @@ class FluidSimulation:
         ).astype(np.float32)
         pos = base + jitter
 
-        pos_j = jnp.asarray(pos)
-        phi_mesh = interp.trilinear(mesh_sdf.phi, pos_j, cfg.dx)
-        phi_solid = interp.trilinear(self._solid_sdf.phi, pos_j, cfg.dx)
-        keep = np.asarray((phi_mesh < 0) & (phi_solid >= 0))
-        self._particles_pos.append(pos[keep])
+        # evaluate SDFs blockwise: 8 samples/cell at 256^3 is 134M candidate
+        # positions, which overflows HBM if interpolated in one shot
+        sample = jax.jit(
+            lambda mphi, sphi, p: (
+                interp.trilinear(mphi, p, cfg.dx),
+                interp.trilinear(sphi, p, cfg.dx),
+            )
+        )
+        block = 4_194_304
+        kept = []
+        for lo in range(0, len(pos), block):
+            chunk = pos[lo : lo + block]
+            phi_mesh, phi_solid = sample(
+                mesh_sdf.phi, self._solid_sdf.phi, jnp.asarray(chunk)
+            )
+            keep = np.asarray((phi_mesh < 0) & (phi_solid >= 0))
+            kept.append(chunk[keep])
+        self._particles_pos.append(np.concatenate(kept, axis=0))
         self._state = None
 
     def set_viscosity(self, value):

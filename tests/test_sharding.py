@@ -6,11 +6,10 @@ import numpy as np
 import pytest
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from flipviscosity3d_tpu import FluidSimulation
 from flipviscosity3d_tpu.core import step as step_mod
-from flipviscosity3d_tpu.core.state import SimState, SolidBoundary
 from flipviscosity3d_tpu.io.trianglemesh import box_mesh
 
 N = 16
@@ -30,45 +29,14 @@ def scene():
     return sim.cfg, state
 
 
-def _shardings(mesh, cfg):
-    rep = NamedSharding(mesh, P())
-    parts = NamedSharding(mesh, P("x", None))
-
-    def grid_sharding(shape):
-        for ax in range(3):
-            if shape[ax] % NDEV == 0:
-                spec = [None, None, None]
-                spec[ax] = "x"
-                return NamedSharding(mesh, P(*spec))
-        return rep
-
-    cell = grid_sharding(cfg.grid_shape)
-    return SimState(
-        pos=parts, vel=parts,
-        u=grid_sharding(cfg.u_shape),
-        v=grid_sharding(cfg.v_shape),
-        w=grid_sharding(cfg.w_shape),
-        solid=SolidBoundary(
-            phi=rep, center_phi=cell,
-            weight_u=grid_sharding(cfg.u_shape),
-            weight_v=grid_sharding(cfg.v_shape),
-            weight_w=grid_sharding(cfg.w_shape),
-            solid_u=grid_sharding(cfg.u_shape),
-            solid_v=grid_sharding(cfg.v_shape),
-            solid_w=grid_sharding(cfg.w_shape),
-        ),
-        viscosity=rep,
-        gravity=rep,
-    )
-
-
 def test_sharded_step_matches_single_device(scene):
+    from flipviscosity3d_tpu.parallel.sharding import make_mesh, shard_state
+
     cfg, state = scene
     single_state, single_diag = step_mod.advance(state, 0.01, cfg)
 
-    mesh = Mesh(np.array(jax.devices()[:NDEV]), ("x",))
-    shardings = _shardings(mesh, cfg)
-    sharded_in = jax.device_put(state, shardings)
+    mesh = make_mesh(NDEV)
+    sharded_in, shardings = shard_state(state, mesh, cfg)
     sharded_state, sharded_diag = jax.jit(
         lambda s, dt: step_mod.advance(s, dt, cfg),
         in_shardings=(shardings, NamedSharding(mesh, P())),
