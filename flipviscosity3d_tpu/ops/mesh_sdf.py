@@ -89,34 +89,43 @@ def _point_triangle_dist_sq(p, v1, v2, v3):
     return jnp.where(inside, d_in, d_out)
 
 
-@functools.partial(jax.jit, static_argnames=("chunk", "point_block"))
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _min_distance_block(points, tri_verts, chunk: int = 512):
+    """Exact min distance from one block of points to any triangle; scans
+    over triangle chunks so peak memory is O(len(points) * chunk)."""
+    m = tri_verts.shape[0]
+    n_chunks = m // chunk
+    tv = tri_verts.reshape(n_chunks, chunk, 3, 3)
+
+    def body(carry, tri_chunk):
+        d2 = _point_triangle_dist_sq(
+            points, tri_chunk[:, 0], tri_chunk[:, 1], tri_chunk[:, 2]
+        )
+        return jnp.minimum(carry, jnp.min(d2, axis=1)), None
+
+    init = jnp.full((points.shape[0],), jnp.inf, points.dtype)
+    best, _ = jax.lax.scan(body, init, tv)
+    return jnp.sqrt(best)
+
+
 def _min_distance_to_mesh(points, tri_verts, chunk: int = 512,
                           point_block: int = 65536):
     """Exact min distance from each point to any triangle.
 
-    points: (N,3) padded to a multiple of `point_block`; tri_verts: (M,3,3)
-    padded to a multiple of `chunk` with degenerate far-away triangles.
-    Maps over point blocks and scans over triangle chunks so peak memory is
-    O(point_block * chunk) regardless of grid resolution.
+    Loops point blocks on the host (one modest device program per block,
+    setup-time only): a single device program over all 17M nodes of a 256^3
+    grid destabilized the tunneled TPU worker.
     """
-    m = tri_verts.shape[0]
-    n_chunks = m // chunk
-    tv = tri_verts.reshape(n_chunks, chunk, 3, 3)
-    blocks = points.reshape(-1, point_block, 3)
-
-    def per_block(pts):
-        def body(carry, tri_chunk):
-            d2 = _point_triangle_dist_sq(
-                pts, tri_chunk[:, 0], tri_chunk[:, 1], tri_chunk[:, 2]
+    out = []
+    n = points.shape[0]
+    for lo in range(0, n, point_block):
+        out.append(
+            np.asarray(
+                _min_distance_block(points[lo : lo + point_block], tri_verts,
+                                    chunk=chunk)
             )
-            return jnp.minimum(carry, jnp.min(d2, axis=1)), None
-
-        init = jnp.full((pts.shape[0],), jnp.inf, pts.dtype)
-        best, _ = jax.lax.scan(body, init, tv)
-        return best
-
-    best = jax.lax.map(per_block, blocks)
-    return jnp.sqrt(best.reshape(-1))
+        )
+    return np.concatenate(out)
 
 
 # --------------------------------------------------------------------------
@@ -269,19 +278,8 @@ def mesh_to_sdf(vertices, triangles, grid_shape, dx, chunk: int = 512) -> MeshLe
         indexing="ij",
     )
     points = np.stack([ii, jj, kk], axis=-1).reshape(-1, 3).astype(np.float32) * dx
-    n_points = len(points)
-    point_block = 65536
-    pad = (-n_points) % point_block
-    if pad:
-        points = np.concatenate(
-            [points, np.full((pad, 3), 1e9, np.float32)], axis=0
-        )
-
-    dist = _min_distance_to_mesh(
-        jnp.asarray(points), jnp.asarray(tv), chunk=chunk,
-        point_block=point_block,
-    )
-    dist = np.asarray(dist)[:n_points].reshape(node_shape)
+    dist = _min_distance_to_mesh(points, jnp.asarray(tv), chunk=chunk)
+    dist = dist.reshape(node_shape)
 
     counts = _column_crossing_counts(verts, tris, node_shape, dx)
     inside = (np.cumsum(counts, axis=0) % 2) == 1
