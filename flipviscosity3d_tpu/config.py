@@ -67,6 +67,14 @@ class SimConfig:
     # scene peaks above 16/cell), so 24 keeps overflow at zero in practice.
     bucket_capacity: int = 24
 
+    # Bucket-overflow contract. Particles beyond bucket_capacity in one cell
+    # skip that pass's grid transfers and take the documented ballistic
+    # fallback instead (ops/buckets.gather_results: advect with the particle's
+    # own velocity, clamped to the domain and still counted in diagnostics).
+    # "fallback" keeps that policy silently; "error" makes
+    # FluidSimulation.advance raise as soon as a frame reports overflow > 0.
+    on_bucket_overflow: str = "fallback"
+
     # Safety bound on CFL substeps per advance() call (reference has no cap;
     # its while-loop runs until t reaches dt).
     max_substeps: int = 64
@@ -75,14 +83,25 @@ class SimConfig:
     # dominant per-substep cost); the XLA formulation is the fallback.
     use_pallas_viscosity: bool = False
 
-    # Viscosity CG preconditioner: "jacobi" (parallel baseline) or
-    # "multigrid" (block-diagonal semi-geometric V-cycle). The reference's
-    # MIC(0) is inherently sequential and has no TPU analogue. Multigrid
-    # gives 3-5x fewer iterations on shallow hierarchies (<= 3 levels) but
-    # its piecewise-constant transfer operators degrade on deeper ones
-    # (64^3+ scenes stagnated), so Jacobi stays the default until the
-    # transfers are upgraded to trilinear interpolation.
-    viscosity_preconditioner: str = "jacobi"
+    # CG preconditioners: "jacobi" (parallel baseline) or "multigrid"
+    # (Galerkin aggregation V-cycle, solvers/multigrid.py). The reference's
+    # MIC(0) is inherently sequential and has no TPU analogue; the V-cycle
+    # is the TPU-parallel replacement and the default for both systems.
+    viscosity_preconditioner: str = "multigrid"
+    pressure_preconditioner: str = "multigrid"
+
+    # Multigrid V-cycle shape (see solvers/multigrid.py). Coarsening is
+    # exact Galerkin over 2x2x2 aggregates; mg_coarse_scale over-corrects
+    # the prolongated update (the standard fix for piecewise-constant
+    # transfer deficiency; keeps the preconditioner symmetric). The coarsest
+    # level (min dim <= mg_coarse_size) is solved with an explicit dense
+    # inverse — tiny-grid smoothing sweeps are dispatch-bound on TPU.
+    mg_max_levels: int = 16          # auto-stops at mg_coarse_size
+    mg_coarse_size: int = 8
+    mg_pre_smooth: int = 1
+    mg_post_smooth: int = 1
+    mg_omega: float = 0.8
+    mg_coarse_scale: float = 1.4
 
     @property
     def grid_shape(self) -> tuple[int, int, int]:

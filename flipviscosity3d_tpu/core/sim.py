@@ -208,6 +208,16 @@ class FluidSimulation:
         new_state, diag = step_mod.advance(state, float(dt), self.cfg)
         self._state = new_state
         self.last_diagnostics = diag
+        if (
+            self.cfg.on_bucket_overflow == "error"
+            and int(diag.bucket_overflow) > 0
+        ):
+            raise RuntimeError(
+                f"bucket overflow: {int(diag.bucket_overflow)} particle-pass "
+                f"slots exceeded bucket_capacity={self.cfg.bucket_capacity}; "
+                "raise bucket_capacity or accept the ballistic fallback "
+                "(on_bucket_overflow='fallback')"
+            )
         return diag
 
     @property

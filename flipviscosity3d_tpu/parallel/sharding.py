@@ -1,13 +1,17 @@
 """Multi-chip domain decomposition helpers.
 
 The reference is single-process/single-threaded (SURVEY.md §2); scaling past
-one chip is a new first-class capability here. Round-1 design: pjit with
-NamedSharding domain decomposition — grids split along the first axis whose
-extent divides the mesh, particle arrays split by index, everything else
-replicated. XLA SPMD partitions the shifted-slice stencils into halo
-exchanges and the bucketing sort/scatter into collective-backed equivalents
-automatically. (shard_map halo pipelines and owner-based particle migration
-are the planned upgrade; see docs/DESIGN.md.)
+one chip is a new first-class capability here. Design: pjit with
+NamedSharding domain decomposition — EVERY 3D grid is sharded along the same
+axis (i), including the staggered +1 extents and the node-shaped grids
+(solid.phi, viscosity), which shard unevenly (GSPMD pads the last shard).
+One consistent axis means every stencil's shifted-slice reads partition into
+one-cell halo exchanges along i instead of cross-axis reshards; particle
+arrays split by index. XLA SPMD inserts the collectives (see
+scripts/dump_sharded_hlo.py for the audit of what it actually emits).
+
+shard_map halo pipelines and owner-based particle migration are the explicit
+upgrade path; see parallel/halo.py and docs/DESIGN.md.
 
 Validated two ways: tests/test_sharding.py checks the sharded step matches
 the single-device step on a forced 8-device CPU mesh, and
@@ -36,20 +40,21 @@ def make_mesh(n_devices: int | None = None, axis: str = "x") -> Mesh:
 
 
 def grid_sharding(mesh: Mesh, shape, axis: str = "x") -> NamedSharding:
-    """Shard a 3D grid along the first axis divisible by the mesh; staggered
-    +1 extents that don't divide fall back to replication (their halo data
-    rides the automatic SPMD exchanges of the cell-aligned arrays)."""
+    """Every 3D grid shards along the SAME axis (i) so stencils become
+    one-cell halo exchanges instead of cross-axis reshards. pjit's
+    NamedSharding cannot express uneven shards, so the staggered/node arrays
+    whose i-extent is I+1 replicate under this path; the shard_map pipeline
+    (parallel/halo.py) is the layout that shards those too."""
     n = mesh.shape[axis]
-    for ax in range(3):
-        if shape[ax] % n == 0:
-            spec = [None, None, None]
-            spec[ax] = axis
-            return NamedSharding(mesh, P(*spec))
+    if shape[0] % n == 0:
+        return NamedSharding(mesh, P(axis, None, None))
     return NamedSharding(mesh, P())
 
 
 def state_shardings(mesh: Mesh, cfg: SimConfig, axis: str = "x") -> SimState:
-    """A SimState-shaped pytree of NamedShardings for jit in/out_shardings."""
+    """A SimState-shaped pytree of NamedShardings for jit in/out_shardings.
+    One PartitionSpec table: every divisible grid P(x,·,·) on i, particles
+    P(x,·), scalars replicated."""
     rep = NamedSharding(mesh, P())
     parts = NamedSharding(mesh, P(axis, None))
 
@@ -63,7 +68,7 @@ def state_shardings(mesh: Mesh, cfg: SimConfig, axis: str = "x") -> SimState:
         v=g(cfg.v_shape),
         w=g(cfg.w_shape),
         solid=SolidBoundary(
-            phi=rep,
+            phi=g(cfg.node_shape),
             center_phi=g(cfg.grid_shape),
             weight_u=g(cfg.u_shape),
             weight_v=g(cfg.v_shape),
@@ -72,7 +77,7 @@ def state_shardings(mesh: Mesh, cfg: SimConfig, axis: str = "x") -> SimState:
             solid_v=g(cfg.v_shape),
             solid_w=g(cfg.w_shape),
         ),
-        viscosity=rep,
+        viscosity=g(cfg.node_shape),
         gravity=rep,
     )
 

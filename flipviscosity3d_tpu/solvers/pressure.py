@@ -147,10 +147,16 @@ def solve_pressure(sys: PressureSystem, cfg: SimConfig) -> PCGResult:
         jnp.float32(cfg.pressure_solve_tolerance),
         jnp.float32(cfg.pressure_solve_rtol) * bnorm,
     )
+    if cfg.pressure_preconditioner == "multigrid":
+        from .multigrid import pressure_mg_preconditioner
+
+        precon = pressure_mg_preconditioner(sys, cfg)
+    else:
+        precon = jacobi_preconditioner(sys.diag)
     return pcg(
         lambda x: apply_pressure_matrix(sys, x),
         sys.b,
-        jacobi_preconditioner(sys.diag),
+        precon,
         tol,
         cfg.pressure_solve_max_iterations,
     )

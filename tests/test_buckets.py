@@ -89,3 +89,45 @@ def test_cell_coords():
     assert c.shape == (3, 24)
     # flat index (i*3 + j)*4 + k
     assert (c[0] * 12 + c[1] * 4 + c[2] == np.arange(24)).all()
+
+
+def test_overflow_end_to_end_bounded_motion():
+    """The documented overflow contract (config.on_bucket_overflow): with a
+    deliberately tiny capacity the sim reports n_overflow > 0 and the
+    overflowed particles take the ballistic fallback — motion stays finite,
+    bounded, and inside the domain clamp box."""
+    import pytest
+
+    from flipviscosity3d_tpu import FluidSimulation
+    from flipviscosity3d_tpu.io.trianglemesh import box_mesh
+
+    res = 12
+    sim = FluidSimulation()
+    sim.initialize(res, res, res, 1.0 / res, bucket_capacity=2)
+    sim.add_liquid(box_mesh((0.2, 0.2, 0.2), (0.8, 0.6, 0.8)))
+    sim.set_viscosity(0.0)
+    sim.set_gravity(0.0, -9.81, 0.0)
+
+    total_overflow = 0
+    for _ in range(3):
+        d = sim.advance(0.01)
+        total_overflow += int(d.bucket_overflow)
+        pos = sim.particle_positions
+        vel = sim.particle_velocities
+        assert np.isfinite(pos).all() and np.isfinite(vel).all()
+        dx = 1.0 / res
+        assert (pos >= dx * 0.99).all() and (pos <= 1.0 - dx * 0.99).all()
+        assert np.abs(vel).max() < 10.0  # bounded by gravity over 3 frames
+    # seeding put 8/cell; capacity 2 must overflow every pass
+    assert total_overflow > 0
+
+    # "error" mode raises instead of silently degrading
+    sim2 = FluidSimulation()
+    sim2.initialize(
+        res, res, res, 1.0 / res, bucket_capacity=2,
+        on_bucket_overflow="error",
+    )
+    sim2.add_liquid(box_mesh((0.2, 0.2, 0.2), (0.8, 0.6, 0.8)))
+    sim2.set_viscosity(0.0)
+    with pytest.raises(RuntimeError, match="bucket overflow"):
+        sim2.advance(0.01)

@@ -60,3 +60,51 @@ def test_sharded_step_matches_single_device(scene):
     np.testing.assert_allclose(
         np.asarray(single_state.v), np.asarray(sharded_state.v), atol=1e-5
     )
+
+
+def test_stencil_path_lowers_to_halo_exchanges_not_allgathers():
+    """Under the unified i-axis decomposition, the 7-point matvec must
+    partition into collective-permute halo exchanges; an all-gather on the
+    stencil path would mean SPMD is materializing whole grids per device."""
+    import re
+
+    from flipviscosity3d_tpu.config import SimConfig
+    from flipviscosity3d_tpu.parallel.sharding import make_mesh
+    from flipviscosity3d_tpu.solvers import pressure as ps
+
+    res = 16
+    cfg = SimConfig(isize=res, jsize=res, ksize=res, dx=1.0 / res)
+    mesh = make_mesh(NDEV)
+    shard = NamedSharding(mesh, P("x", None, None))
+    shape = cfg.grid_shape
+
+    rng = np.random.default_rng(0)
+    jj = np.arange(res, dtype=np.float32) + 0.5
+    phi = np.broadcast_to(
+        ((jj - 0.55 * res) / res)[None, :, None], shape
+    ).astype(np.float32).copy()
+    fluid = jnp.asarray(phi < 0)
+    diag = jnp.asarray(rng.uniform(1, 2, shape).astype(np.float32)) * fluid
+    plus = [
+        jnp.asarray(-rng.uniform(0, 1, shape).astype(np.float32)) * fluid
+        for _ in range(3)
+    ]
+    b = jnp.asarray(rng.normal(size=shape).astype(np.float32)) * fluid
+    sys_p = ps.PressureSystem(
+        fluid, diag, plus[0], plus[1], plus[2], b,
+        jnp.ones(cfg.u_shape), jnp.ones(cfg.v_shape), jnp.ones(cfg.w_shape),
+    )
+    sys_sharded = jax.tree.map(
+        lambda a: jax.device_put(
+            a, shard if a.shape == shape else NamedSharding(mesh, P())
+        ),
+        sys_p,
+    )
+    x = jax.device_put(b, shard)
+    hlo = jax.jit(ps.apply_pressure_matrix).lower(
+        sys_sharded, x
+    ).compile().as_text()
+    n_permute = len(re.findall(r"\bcollective-permute\b", hlo))
+    n_allgather = len(re.findall(r"\ball-gather\b", hlo))
+    assert n_allgather == 0, f"stencil path emitted {n_allgather} all-gathers"
+    assert n_permute >= 2, f"expected halo exchanges, got {n_permute}"
