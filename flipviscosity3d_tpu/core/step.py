@@ -198,6 +198,10 @@ def step(state: SimState, dt, cfg: SimConfig):
     fvel_x, fvel_y, fvel_z, fmx, fmy, fmz = flat
 
     # ---------------- PASS B: bucket by midpoint ----------------
+    # Only the midpoints enter the dense tables (sampling needs home-cell
+    # aligned positions); the original positions and stage-1 velocities ride
+    # the sort and the advection add happens on the flat sorted arrays after
+    # the gather — 3 fewer (capacity, n_cells) scatters per substep.
     fm = jnp.stack([fmx, fmy, fmz], axis=1)
     table_b = build_buckets(
         fm,
@@ -205,7 +209,7 @@ def step(state: SimState, dt, cfg: SimConfig):
         dx,
         shape,
         cfg.bucket_capacity,
-        n_table_fields=6,  # velocities only pass through via .sorted
+        n_table_fields=3,
     )
     bmx, bmy, bmz = table_b.fields[0], table_b.fields[1], table_b.fields[2]
     ext = jnp.array(
@@ -217,18 +221,16 @@ def step(state: SimState, dt, cfg: SimConfig):
         & (bmz >= 0) & (bmz < ext[2])
     )
     v2x, v2y, v2z = pg.sample_mac_at_table(table_b, u, v, w, dx, inside_m)
-    npx = table_b.fields[3] + dt * v2x
-    npy = table_b.fields[4] + dt * v2y
-    npz = table_b.fields[5] + dt * v2z
 
     sbmx, sbmy, sbmz, sbpx, sbpy, sbpz, sbvx, sbvy, sbvz = table_b.sorted
-    fnpx, fnpy, fnpz = gather_results(
-        table_b,
-        (npx, npy, npz),
-        fallbacks=(
-            sbpx + dt * sbvx, sbpy + dt * sbvy, sbpz + dt * sbvz,
-        ),
+    # stage-2 velocity per particle; overflow falls back to the particle's
+    # own (ballistic) velocity, reproducing new_p = p + dt * v
+    fv2x, fv2y, fv2z = gather_results(
+        table_b, (v2x, v2y, v2z), fallbacks=(sbvx, sbvy, sbvz)
     )
+    fnpx = sbpx + dt * fv2x
+    fnpy = sbpy + dt * fv2y
+    fnpz = sbpz + dt * fv2z
 
     # ---------------- PASS C: clamp + solid pushback ----------------
     lo, hi = _clamp_bounds(cfg)

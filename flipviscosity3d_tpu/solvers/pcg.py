@@ -21,16 +21,22 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def _tree_dot(a, b):
+def _tree_dot(a, b, axis_name=None):
     leaves_a = jax.tree.leaves(a)
     leaves_b = jax.tree.leaves(b)
-    return sum(jnp.vdot(x, y) for x, y in zip(leaves_a, leaves_b))
+    d = sum(jnp.vdot(x, y) for x, y in zip(leaves_a, leaves_b))
+    if axis_name is not None:
+        d = lax.psum(d, axis_name)
+    return d
 
 
-def _tree_absmax(a):
-    return jnp.max(
+def _tree_absmax(a, axis_name=None):
+    m = jnp.max(
         jnp.stack([jnp.max(jnp.abs(x)) for x in jax.tree.leaves(a)])
     )
+    if axis_name is not None:
+        m = lax.pmax(m, axis_name)
+    return m
 
 
 def _tree_axpy(alpha, x, y):
@@ -51,6 +57,7 @@ def pcg(
     tol,
     max_iterations: int,
     x0=None,
+    axis_name=None,
 ) -> PCGResult:
     """Solve A x = b with preconditioned CG.
 
@@ -65,6 +72,10 @@ def pcg(
     warm-start x0; CG converges to the same solution with fewer iterations
     when x0 is close (e.g. the pre-solve velocity field for the viscosity
     system).
+
+    When running shard-local operands inside shard_map, pass `axis_name`:
+    the CG reductions (dots, inf-norm) become psum/pmax collectives while
+    apply_A/apply_M stay whatever halo-exchanging callables the caller built.
     """
     tol = jnp.asarray(tol, jnp.float32)
     if x0 is None:
@@ -74,8 +85,8 @@ def pcg(
         Ax0 = apply_A(x0)
         r0 = jax.tree.map(lambda bi, ai: bi - ai, b, Ax0)
     z0 = apply_M(r0)
-    sigma0 = _tree_dot(z0, r0)
-    res0 = _tree_absmax(r0)
+    sigma0 = _tree_dot(z0, r0, axis_name)
+    res0 = _tree_absmax(r0, axis_name)
 
     def cond(state):
         _, _, _, _, it, res = state
@@ -84,15 +95,15 @@ def pcg(
     def body(state):
         x, r, s, sigma, it, _ = state
         As = apply_A(s)
-        denom = _tree_dot(s, As)
+        denom = _tree_dot(s, As, axis_name)
         alpha = sigma / jnp.where(denom == 0, 1.0, denom)
         x = _tree_axpy(alpha, s, x)
         r = _tree_axpy(-alpha, As, r)
         z = apply_M(r)
-        sigma_new = _tree_dot(z, r)
+        sigma_new = _tree_dot(z, r, axis_name)
         beta = sigma_new / jnp.where(sigma == 0, 1.0, sigma)
         s = _tree_axpy(beta, s, z)
-        res = _tree_absmax(r)
+        res = _tree_absmax(r, axis_name)
         return x, r, s, sigma_new, it + 1, res
 
     x, r, s, sigma, it, res = lax.while_loop(
