@@ -62,6 +62,13 @@ class SimConfig:
     viscosity_solve_rtol: float = 1e-6
     viscosity_acceptable_error: float = 10.0
 
+    # Particle engine. "stream" (default): sorted-stream segment reductions,
+    # no tables, no capacity limit, every particle always participates
+    # (ops/stream.py). "table": the round-1 fixed-capacity bucket tables
+    # (ops/buckets.py) — kept for A/B validation; capacity overflow there
+    # follows on_bucket_overflow.
+    particle_engine: str = "stream"
+
     # Bucketed particle-engine capacity: max particles tracked per grid cell.
     # Seeding places 8 per cell; FLIP compression packs more (the 64^3 bunny
     # scene peaks above 16/cell), so 24 keeps overflow at zero in practice.

@@ -7,14 +7,19 @@ stages, and both linear solves all run inside a single XLA computation (the
 host dispatches exactly once per frame — essential here, where per-dispatch
 latency is ~34ms).
 
-Particle work uses three bucketing passes per substep (see ops/buckets.py):
-  A: keyed by current positions — liquid SDF, P2G, PIC/FLIP G2P, RK2 stage 1
-  B: keyed by RK2 midpoints — RK2 stage 2 velocity sample
-  C: keyed by advected positions — solid SDF pushback
+Particle work runs on one of two engines (cfg.particle_engine):
+
+- "stream" (default): ONE lax.sort per substep; liquid SDF + P2G as
+  segmented scans over the sorted stream; G2P / RK2 stage 2 / solid pushback
+  as row-gathers of stacked per-cell grid columns keyed by per-particle cell
+  indices (ops/stream.py, ops/stream_transfers.py). No scatters besides the
+  run-start index build, no capacity limit, no overflow.
+- "table": the round-1 three-pass fixed-capacity bucket tables
+  (ops/buckets.py, ops/particle_grid.py), kept for A/B validation.
 
 Divergences from the reference, all documented where they occur:
-- MIC(0) preconditioning -> Jacobi (parallel), float64 -> float32 with a
-  relative tolerance floor
+- MIC(0) preconditioning -> Galerkin-aggregation multigrid / Jacobi
+  (parallel), float64 -> float32 with a relative tolerance floor
 - the reference applies solid pushback before the AABB clamp
   (fluidsimulation.cpp:322-337); we clamp, push back, and clamp again so the
   pushback's SDF sample is guaranteed home-cell aligned (differs only for
@@ -32,13 +37,15 @@ from jax import lax
 
 from ..config import SimConfig
 from ..ops import particle_grid as pg
-from ..ops.buckets import build_buckets, gather_results
+from ..ops import stream_transfers as st
+from ..ops.buckets import build_buckets, cell_of_position, gather_results
 from ..ops.extrapolate import extrapolate_velocity_field
 from ..ops.grids import (
     face_borders_fluid_u,
     face_borders_fluid_v,
     face_borders_fluid_w,
 )
+from ..ops.stream import stream_sort
 from ..solvers import pressure as psolver
 from ..solvers import viscosity as vsolver
 from .state import SimState, StepDiagnostics
@@ -72,31 +79,11 @@ def _max_velocity(u, v, w):
     )
 
 
-def step(state: SimState, dt, cfg: SimConfig):
-    """One CFL substep (the body of the reference's advance loop,
-    fluidsimulation.cpp:144-166). Returns (state, diagnostics pieces)."""
-    dx = cfg.dx
-    shape = cfg.grid_shape
+def _grid_update(state: SimState, liquid_phi, p2g_sums, dt, cfg: SimConfig):
+    """The grid-side pipeline between P2G and G2P: normalize the transfer,
+    extrapolate, body force, viscosity, pressure projection, constrain
+    (fluidsimulation.cpp:149-161). Engine-independent."""
     solid = state.solid
-
-    # ---------------- PASS A: bucket by position ----------------
-    table_a = build_buckets(
-        state.pos,
-        (
-            state.pos[:, 0], state.pos[:, 1], state.pos[:, 2],
-            state.vel[:, 0], state.vel[:, 1], state.vel[:, 2],
-        ),
-        dx,
-        shape,
-        cfg.bucket_capacity,
-    )
-
-    # liquid SDF + P2G transfer, fused over one sweep of the 27 cell offsets
-    # (fluidsimulation.cpp:354-362 and :364-519)
-    liquid_phi, p2g_sums = pg.p2g_and_sdf(
-        table_a, shape, dx, cfg.particle_radius, solid.center_phi,
-        (cfg.u_shape, cfg.v_shape, cfg.w_shape),
-    )
     fluid = liquid_phi < 0
     borders_u = face_borders_fluid_u(fluid)
     borders_v = face_borders_fluid_v(fluid)
@@ -165,6 +152,127 @@ def step(state: SimState, dt, cfg: SimConfig):
     saved_u = jnp.where(solid.weight_u == 0, 0.0, saved_u)
     saved_v = jnp.where(solid.weight_v == 0, 0.0, saved_v)
     saved_w = jnp.where(solid.weight_w == 0, 0.0, saved_w)
+
+    solver_diag = dict(
+        pressure_iterations=pres.iterations,
+        pressure_residual=pres.residual,
+        viscosity_iterations=visc_iters,
+        viscosity_residual=visc_res,
+        liquid_cells=jnp.sum(fluid),
+    )
+    return (u, v, w), (saved_u, saved_v, saved_w), fluid, solver_diag
+
+
+def _step_stream(state: SimState, dt, cfg: SimConfig):
+    """One CFL substep on the sorted-stream engine."""
+    dx = cfg.dx
+    shape = cfg.grid_shape
+    solid = state.solid
+
+    # ---------------- PASS A: the substep's one sort ----------------
+    stream = stream_sort(
+        state.pos,
+        (
+            state.pos[:, 0], state.pos[:, 1], state.pos[:, 2],
+            state.vel[:, 0], state.vel[:, 1], state.vel[:, 2],
+        ),
+        dx,
+        shape,
+    )
+    spx, spy, spz = stream.sorted[0], stream.sorted[1], stream.sorted[2]
+    svx, svy, svz = stream.sorted[3], stream.sorted[4], stream.sorted[5]
+
+    liquid_phi, p2g_sums = st.p2g_sdf_stream(
+        stream, shape, dx, cfg.particle_radius, solid.center_phi,
+        (cfg.u_shape, cfg.v_shape, cfg.w_shape),
+    )
+
+    (u, v, w), (saved_u, saved_v, saved_w), fluid, solver_diag = _grid_update(
+        state, liquid_phi, p2g_sums, dt, cfg
+    )
+
+    # ---------------- G2P + advection ----------------
+    # PIC/FLIP velocity update (fluidsimulation.cpp:341-352); one row-gather
+    # serves the new and FLIP-saved fields for all three components.
+    (nu, ou), (nv, ov), (nw, ow) = st.sample_mac_at(
+        spx, spy, spz, stream.key,
+        [u, saved_u], [v, saved_v], [w, saved_w], dx, shape,
+    )
+    r = jnp.float32(cfg.ratio_pic_flip)
+    vel_x = r * nu + (1.0 - r) * (svx + nu - ou)
+    vel_y = r * nv + (1.0 - r) * (svy + nv - ov)
+    vel_z = r * nw + (1.0 - r) * (svz + nw - ow)
+
+    # RK2 stage 1: midpoint from the *grid* velocity at p
+    # (fluidsimulation.cpp:535-541)
+    mx = spx + 0.5 * dt * nu
+    my = spy + 0.5 * dt * nv
+    mz = spz + 0.5 * dt * nw
+
+    # ---------------- stage 2 at the midpoints (no re-sort) ----------------
+    key_m = cell_of_position(jnp.stack([mx, my, mz], axis=1), dx, shape)
+    ext = jnp.array([shape[0] * dx, shape[1] * dx, shape[2] * dx], jnp.float32)
+    inside_m = (
+        (mx >= 0) & (mx < ext[0])
+        & (my >= 0) & (my < ext[1])
+        & (mz >= 0) & (mz < ext[2])
+    )
+    (v2x,), (v2y,), (v2z,) = st.sample_mac_at(
+        mx, my, mz, key_m, [u], [v], [w], dx, shape, valid=inside_m,
+    )
+    npx = spx + dt * v2x
+    npy = spy + dt * v2y
+    npz = spz + dt * v2z
+
+    # ---------------- clamp + solid pushback (no re-sort) ----------------
+    lo, hi = _clamp_bounds(cfg)
+    cpx = jnp.clip(npx, lo[0], hi[0])
+    cpy = jnp.clip(npy, lo[1], hi[1])
+    cpz = jnp.clip(npz, lo[2], hi[2])
+    key_c = cell_of_position(jnp.stack([cpx, cpy, cpz], axis=1), dx, shape)
+    dpx, dpy, dpz = st.solid_pushback_at(
+        cpx, cpy, cpz, key_c, solid.phi, dx, shape
+    )
+    fx = jnp.clip(cpx + dpx, lo[0], hi[0])
+    fy = jnp.clip(cpy + dpy, lo[1], hi[1])
+    fz = jnp.clip(cpz + dpz, lo[2], hi[2])
+
+    new_pos = jnp.stack([fx, fy, fz], axis=1)
+    new_vel = jnp.stack([vel_x, vel_y, vel_z], axis=1)
+
+    new_state = state._replace(pos=new_pos, vel=new_vel, u=u, v=v, w=w)
+    diag = dict(bucket_overflow=jnp.int32(0), **solver_diag)
+    return new_state, diag
+
+
+def _step_table(state: SimState, dt, cfg: SimConfig):
+    """One CFL substep on the round-1 bucket-table engine (three passes)."""
+    dx = cfg.dx
+    shape = cfg.grid_shape
+    solid = state.solid
+
+    # ---------------- PASS A: bucket by position ----------------
+    table_a = build_buckets(
+        state.pos,
+        (
+            state.pos[:, 0], state.pos[:, 1], state.pos[:, 2],
+            state.vel[:, 0], state.vel[:, 1], state.vel[:, 2],
+        ),
+        dx,
+        shape,
+        cfg.bucket_capacity,
+    )
+
+    # liquid SDF + P2G transfer, fused over one sweep of the 27 cell offsets
+    # (fluidsimulation.cpp:354-362 and :364-519)
+    liquid_phi, p2g_sums = pg.p2g_and_sdf(
+        table_a, shape, dx, cfg.particle_radius, solid.center_phi,
+        (cfg.u_shape, cfg.v_shape, cfg.w_shape),
+    )
+
+    (u, v, w), (saved_u, saved_v, saved_w), fluid, solver_diag = _grid_update(
+        state, liquid_phi, p2g_sums, dt, cfg
+    )
 
     # ---------------- G2P + advection ----------------
     # PIC/FLIP velocity update (fluidsimulation.cpp:341-352); particle
@@ -266,16 +374,20 @@ def step(state: SimState, dt, cfg: SimConfig):
 
     new_state = state._replace(pos=new_pos, vel=new_vel, u=u, v=v, w=w)
     diag = dict(
-        pressure_iterations=pres.iterations,
-        pressure_residual=pres.residual,
-        viscosity_iterations=visc_iters,
-        viscosity_residual=visc_res,
         bucket_overflow=table_a.n_overflow
         + table_b.n_overflow
         + table_c.n_overflow,
-        liquid_cells=jnp.sum(fluid),
+        **solver_diag,
     )
     return new_state, diag
+
+
+def step(state: SimState, dt, cfg: SimConfig):
+    """One CFL substep (the body of the reference's advance loop,
+    fluidsimulation.cpp:144-166). Returns (state, diagnostics pieces)."""
+    if cfg.particle_engine == "stream":
+        return _step_stream(state, dt, cfg)
+    return _step_table(state, dt, cfg)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
@@ -300,15 +412,15 @@ def advance(state: SimState, dt, cfg: SimConfig):
         return (t < dt) & (n < cfg.max_substeps)
 
     def body(carry):
-        t, st, n, diag = carry
-        maxvel = _max_velocity(st.u, st.v, st.w)
+        t, st_, n, diag = carry
+        maxvel = _max_velocity(st_.u, st_.v, st_.w)
         cfl = jnp.where(
             maxvel > 0,
             jnp.float32(cfg.cfl_number * cfg.dx) / maxvel,
             jnp.float32(jnp.inf),
         )
         substep = jnp.minimum(cfl, dt - t)
-        st, d = step(st, substep, cfg)
+        st_, d = step(st_, substep, cfg)
         diag = StepDiagnostics(
             substeps=diag.substeps + 1,
             pressure_iterations=diag.pressure_iterations
@@ -321,7 +433,7 @@ def advance(state: SimState, dt, cfg: SimConfig):
             bucket_overflow=diag.bucket_overflow + d["bucket_overflow"],
             liquid_cells=d["liquid_cells"].astype(jnp.int32),
         )
-        return t + substep, st, n + 1, diag
+        return t + substep, st_, n + 1, diag
 
     _, state, _, diag = lax.while_loop(
         cond, body, (jnp.float32(0.0), state, jnp.int32(0), zero_diag)

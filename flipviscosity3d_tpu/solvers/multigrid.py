@@ -29,19 +29,47 @@ preconditioner at any depth.
 Pure aggregation transfers underestimate smooth corrections (the classical
 O(1-1/cycle) aggregation deficiency), compensated here the standard way with
 an over-correction factor on the prolongated coarse update (cfg.mg_coarse_scale,
-~1.6-1.9 optimal for 3D Poisson-like operators) — the scaling keeps the
+~1.4-1.9 optimal for 3D Poisson-like operators) — the scaling keeps the
 preconditioner symmetric.
+
+TPU shape notes: every operation here treats the LAST THREE axes as spatial
+and broadcasts over leading batch axes. The three viscosity component blocks
+are padded to a common shape and stacked into one (3, I', J', K') hierarchy,
+so the dozens of small kernels on deep levels launch once for all three
+components instead of three times — on this hardware the deep levels are
+kernel-launch-bound, not bandwidth-bound. The coarsest level is solved with
+an explicit (batched) dense inverse instead of dispatch-bound tiny smoothing
+sweeps.
 """
 
 from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
-from ..ops.grids import shifted_read
+_AXES = (0, 1, 2)  # spatial axes, counted from the end (ndim-3 + ax)
 
-_AXES = (0, 1, 2)
+
+def _shift(x, off3, fill=0.0):
+    """x shifted by (oi,oj,ok) on its last three axes, `fill` out of range.
+    Batched generalization of ops.grids.shifted_read (same semantics)."""
+    nb = x.ndim - 3
+    pads = [(0, 0)] * nb
+    slices = [slice(None)] * nb
+    for ax in range(3):
+        o = int(off3[ax])
+        n = x.shape[nb + ax]
+        lo = max(0, -o)
+        hi = min(n, n - o)
+        hi = max(hi, lo)
+        slices.append(slice(lo + o, hi + o))
+        pads.append((lo, n - hi))
+    block = x[tuple(slices)]
+    if any(p != (0, 0) for p in pads):
+        block = jnp.pad(block, pads, constant_values=fill)
+    return block
 
 
 def _off(axis, sign):
@@ -63,17 +91,17 @@ def _level(diag, links):
 
 def _apply(level: MGLevel, x):
     """y = diag*x - sum_ax (L*x(+ax) + shifted(L*x)). Symmetric by design."""
-    shape = x.shape
     y = level.diag * x
     for ax in _AXES:
         L = level.links[ax]
-        y = y - L * shifted_read(x, _off(ax, +1), shape)
-        y = y - shifted_read(L * x, _off(ax, -1), shape)
+        y = y - L * _shift(x, _off(ax, +1))
+        y = y - _shift(L * x, _off(ax, -1))
     return y
 
 
 def _pad_to_even(a):
-    pads = [(0, s % 2) for s in a.shape]
+    pads = [(0, 0)] * (a.ndim - 3) + [(0, a.shape[i] % 2) for i in
+                                      range(a.ndim - 3, a.ndim)]
     if any(p != (0, 0) for p in pads):
         a = jnp.pad(a, pads)
     return a
@@ -83,27 +111,32 @@ def _pool_sum(a):
     """2x2x2 sum pooling = R (restriction) for piecewise-constant aggregates."""
     a = _pad_to_even(a)
     s = a.shape
-    return a.reshape(s[0] // 2, 2, s[1] // 2, 2, s[2] // 2, 2).sum(
-        axis=(1, 3, 5)
+    lead = s[:-3]
+    i, j, k = s[-3], s[-2], s[-1]
+    return a.reshape(lead + (i // 2, 2, j // 2, 2, k // 2, 2)).sum(
+        axis=(-5, -3, -1)
     )
 
 
-def _prolong(a, fine_shape):
+def _prolong(a, fine_spatial):
     """P: replicate each coarse cell into its 2x2x2 block (R^T exactly)."""
-    i, j, k = a.shape
+    lead = a.shape[:-3]
+    i, j, k = a.shape[-3], a.shape[-2], a.shape[-1]
     b = jnp.broadcast_to(
-        a[:, None, :, None, :, None], (i, 2, j, 2, k, 2)
-    ).reshape(2 * i, 2 * j, 2 * k)
-    return b[: fine_shape[0], : fine_shape[1], : fine_shape[2]]
+        a[..., :, None, :, None, :, None], lead + (i, 2, j, 2, k, 2)
+    ).reshape(lead + (2 * i, 2 * j, 2 * k))
+    return b[..., : fine_spatial[0], : fine_spatial[1], : fine_spatial[2]]
 
 
-def _parity_mask(shape, axis, dtype):
-    """1.0 at odd indices along `axis` (links crossing an aggregate face)."""
-    n = shape[axis]
+def _parity_mask(x, spatial_axis):
+    """1.0 at odd indices along the given spatial axis (0..2 from the end),
+    broadcastable against x (links crossing an aggregate face)."""
+    ax = x.ndim - 3 + spatial_axis
+    n = x.shape[ax]
     idx = jnp.arange(n, dtype=jnp.int32) % 2
-    view = [1, 1, 1]
-    view[axis] = n
-    return idx.reshape(view).astype(dtype)
+    view = [1] * x.ndim
+    view[ax] = n
+    return idx.reshape(view).astype(x.dtype)
 
 
 def _coarsen(level: MGLevel) -> MGLevel:
@@ -113,7 +146,7 @@ def _coarsen(level: MGLevel) -> MGLevel:
     internal_total = 0.0
     for ax in _AXES:
         L = links[ax]
-        odd = _parity_mask(L.shape, ax, L.dtype)
+        odd = _parity_mask(L, ax)
         new_links.append(_pool_sum(L * odd))
         internal_total = internal_total + _pool_sum(L * (1.0 - odd))
     diag_c = _pool_sum(diag) - 2.0 * internal_total
@@ -122,47 +155,72 @@ def _coarsen(level: MGLevel) -> MGLevel:
 
 def _dense_coarse_inverse(level: MGLevel):
     """Explicit symmetric inverse of the coarsest operator (a few hundred
-    rows). Off-mask rows (diag == 0 after coarsening) get an identity row so
-    the inverse exists; they only ever see zero residuals. Computed once per
-    solve; each V-cycle's coarse solve is then a single small matmul instead
-    of dozens of tiny smoothing kernels (which are dispatch-bound on TPU)."""
-    shape = level.diag.shape
-    n = shape[0] * shape[1] * shape[2]
-    diag_flat = level.diag.ravel()
-    A = jnp.zeros((n, n), level.diag.dtype)
-    A = A.at[jnp.arange(n), jnp.arange(n)].set(
-        jnp.where(diag_flat > 0, diag_flat, 1.0)
-    )
-    strides = (shape[1] * shape[2], shape[2], 1)
-    idx = jnp.arange(n)
-    for ax in _AXES:
-        # boundary links are zero by construction, so the wrapped flat index
-        # of the last cell along `ax` only ever adds zeros
-        L = level.links[ax].ravel()
-        j = idx + strides[ax]
-        valid = j < n
-        jc = jnp.where(valid, j, 0)
-        Lv = jnp.where(valid, L, 0.0)
-        A = A.at[idx, jc].add(-Lv)
-        A = A.at[jc, idx].add(-Lv)
-    inv = jnp.linalg.inv(A)
-    return 0.5 * (inv + inv.T)  # exact symmetry for CG
+    rows per batch entry). Off-mask rows (diag == 0 after coarsening) get an
+    identity row so the inverse exists; they only ever see zero residuals.
+    Computed once per solve; each V-cycle's coarse solve is then a single
+    small matmul instead of dozens of tiny dispatch-bound smoothing kernels.
+    """
+    spatial = level.diag.shape[-3:]
+    lead = level.diag.shape[:-3]
+    n = spatial[0] * spatial[1] * spatial[2]
+    diag_flat = level.diag.reshape(lead + (n,))
+    eye = jnp.arange(n)
+
+    def build_one(dflat, links_flat):
+        A = jnp.zeros((n, n), level.diag.dtype)
+        A = A.at[eye, eye].set(jnp.where(dflat > 0, dflat, 1.0))
+        strides = (spatial[1] * spatial[2], spatial[2], 1)
+        for ax in _AXES:
+            # boundary links are zero by construction, so the wrapped flat
+            # index of the last cell along `ax` only ever adds zeros
+            L = links_flat[ax]
+            j = eye + strides[ax]
+            valid = j < n
+            jc = jnp.where(valid, j, 0)
+            Lv = jnp.where(valid, L, 0.0)
+            A = A.at[eye, jc].add(-Lv)
+            A = A.at[jc, eye].add(-Lv)
+        inv = jnp.linalg.inv(A)
+        return 0.5 * (inv + inv.T)  # exact symmetry for CG
+
+    links_flat = tuple(L.reshape(lead + (n,)) for L in level.links)
+    if not lead:
+        return build_one(diag_flat, links_flat)
+    fn = build_one
+    for _ in lead:
+        fn = jax.vmap(fn)
+    return fn(diag_flat, links_flat)
 
 
 class MGHierarchy(NamedTuple):
     levels: tuple
-    coarse_inv: jnp.ndarray
+    coarse_inv: jnp.ndarray | None  # None -> smooth the coarsest level
+
+
+_DENSE_COARSE_MAX_CELLS = 4096
 
 
 def build_hierarchy(diag, links, cfg) -> MGHierarchy:
     """Level hierarchy from the premasked fine operator; coarsening stops
-    once the grid fits a direct dense solve (min dim <= mg_coarse_size)."""
+    once the grid fits a direct dense solve (min dim <= mg_coarse_size).
+    If the caller caps mg_max_levels before the grid is that small, the
+    coarsest level falls back to smoothing sweeps (a dense inverse of a big
+    level would be quadratic in its cell count)."""
     levels = [_level(diag, links)]
     for _ in range(cfg.mg_max_levels - 1):
-        if min(levels[-1].diag.shape) <= cfg.mg_coarse_size:
+        if min(levels[-1].diag.shape[-3:]) <= cfg.mg_coarse_size:
             break
         levels.append(_coarsen(levels[-1]))
-    return MGHierarchy(tuple(levels), _dense_coarse_inverse(levels[-1]))
+    coarse = levels[-1]
+    n_coarse = int(
+        coarse.diag.shape[-3] * coarse.diag.shape[-2] * coarse.diag.shape[-1]
+    )
+    inv = (
+        _dense_coarse_inverse(coarse)
+        if n_coarse <= _DENSE_COARSE_MAX_CELLS
+        else None
+    )
+    return MGHierarchy(tuple(levels), inv)
 
 
 def _smooth(level: MGLevel, x, b, iters: int, omega: float):
@@ -170,6 +228,18 @@ def _smooth(level: MGLevel, x, b, iters: int, omega: float):
         r = b - _apply(level, x)
         x = x + omega * level.inv_diag * r
     return x
+
+
+def _coarse_solve(hier: MGHierarchy, b, pre, post, omega):
+    level = hier.levels[-1]
+    if hier.coarse_inv is None:
+        return _smooth(level, jnp.zeros_like(b), b, 2 * (pre + post), omega)
+    spatial = b.shape[-3:]
+    lead = b.shape[:-3]
+    n = spatial[0] * spatial[1] * spatial[2]
+    bf = b.reshape(lead + (n,))
+    xf = jnp.einsum("...ij,...j->...i", hier.coarse_inv, bf)
+    return xf.reshape(b.shape)
 
 
 def v_cycle(hier: MGHierarchy, b, pre: int, post: int, omega: float,
@@ -180,11 +250,11 @@ def v_cycle(hier: MGHierarchy, b, pre: int, post: int, omega: float,
     def cycle(lvl: int, b):
         level = levels[lvl]
         if lvl == len(levels) - 1:
-            return (hier.coarse_inv @ b.ravel()).reshape(b.shape)
+            return _coarse_solve(hier, b, pre, post, omega)
         x = _smooth(level, jnp.zeros_like(b), b, pre, omega)
         r = b - _apply(level, x)
         xc = cycle(lvl + 1, _pool_sum(r))
-        x = x + coarse_scale * _prolong(xc, b.shape)
+        x = x + coarse_scale * _prolong(xc, b.shape[-3:])
         x = _smooth(level, x, b, post, omega)
         return x
 
@@ -203,11 +273,18 @@ def component_links(dir_factors, mask):
     mask_f = mask.astype(dir_factors["r"].dtype)
     plus_keys = ("r", "t", "f")
     return tuple(
-        dir_factors[k]
-        * mask_f
-        * shifted_read(mask_f, _off(ax, +1), mask_f.shape, fill=0.0)
+        dir_factors[k] * mask_f * _shift(mask_f, _off(ax, +1))
         for ax, k in zip(_AXES, plus_keys)
     )
+
+
+def _pad_to(a, spatial):
+    pads = [(0, 0)] * (a.ndim - 3) + [
+        (0, spatial[i] - a.shape[a.ndim - 3 + i]) for i in range(3)
+    ]
+    if any(p != (0, 0) for p in pads):
+        a = jnp.pad(a, pads)
+    return a
 
 
 def viscosity_mg_preconditioner(sys, cfg):
@@ -216,24 +293,41 @@ def viscosity_mg_preconditioner(sys, cfg):
     7-point diagonal block (cross-component couplings are left to the outer
     CG; they are bounded by the same-component ones, so the block V-cycle
     still collapses the stiff dt*mu/dx^2 spectrum that drives iteration
-    counts)."""
-    comp_hier = []
+    counts).
+
+    The three blocks are padded to the common (I+1, J+1, K+1) staggered
+    superset shape and stacked on a leading batch axis: one hierarchy, one
+    set of V-cycle kernels for all three components (the deep levels are
+    kernel-launch-bound). Padding rows carry zero diagonal and links, so
+    they stay exactly zero through the cycle."""
+    common = (cfg.isize + 1, cfg.jsize + 1, cfg.ksize + 1)
+    diags = []
+    links3 = []
     for c in range(3):
         links = component_links(sys.factors[c], sys.in_mat[c])
-        comp_hier.append(build_hierarchy(sys.diag[c], links, cfg))
+        diags.append(_pad_to(sys.diag[c], common))
+        links3.append(tuple(_pad_to(L, common) for L in links))
+    diag_b = jnp.stack(diags)
+    links_b = tuple(jnp.stack([links3[c][ax] for c in range(3)])
+                    for ax in _AXES)
+    hier = build_hierarchy(diag_b, links_b, cfg)
 
     def apply_M(r):
+        rb = jnp.stack([
+            _pad_to(jnp.where(m, ri, 0.0), common)
+            for ri, m in zip(r, sys.in_mat)
+        ])
+        xb = v_cycle(
+            hier, rb, cfg.mg_pre_smooth, cfg.mg_post_smooth,
+            cfg.mg_omega, cfg.mg_coarse_scale,
+        )
         return tuple(
             jnp.where(
                 m,
-                v_cycle(
-                    hier, jnp.where(m, ri, 0.0),
-                    cfg.mg_pre_smooth, cfg.mg_post_smooth,
-                    cfg.mg_omega, cfg.mg_coarse_scale,
-                ),
+                xb[c][: m.shape[0], : m.shape[1], : m.shape[2]],
                 0.0,
             )
-            for hier, ri, m in zip(comp_hier, r, sys.in_mat)
+            for c, m in enumerate(sys.in_mat)
         )
 
     return apply_M
@@ -246,9 +340,7 @@ def pressure_mg_preconditioner(sys, cfg):
     row mask on both sides so links only couple actual rows."""
     fluid_f = sys.fluid.astype(sys.diag.dtype)
     links = tuple(
-        (-plus)
-        * fluid_f
-        * shifted_read(fluid_f, _off(ax, +1), fluid_f.shape, fill=0.0)
+        (-plus) * fluid_f * _shift(fluid_f, _off(ax, +1))
         for ax, plus in zip(_AXES, (sys.plus_i, sys.plus_j, sys.plus_k))
     )
     diag = jnp.where(sys.fluid, sys.diag, 0.0)

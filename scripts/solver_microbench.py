@@ -136,9 +136,9 @@ def main():
     variants = [
         ("jacobi", dict(viscosity_preconditioner="jacobi",
                         pressure_preconditioner="jacobi")),
-        ("mg dense8", dict()),
-        ("mg dense16", dict(mg_coarse_size=16)),
-        ("mg dense8 s2", dict(mg_pre_smooth=2, mg_post_smooth=2)),
+        ("mg batched L-auto", dict()),
+        ("mg batched L4", dict(mg_max_levels=4)),
+        ("mg batched L3", dict(mg_max_levels=3)),
     ]
     extra = os.environ.get("VARIANT")
     if extra:
