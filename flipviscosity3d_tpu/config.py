@@ -109,6 +109,11 @@ class SimConfig:
     mg_post_smooth: int = 1
     mg_omega: float = 0.8
     mg_coarse_scale: float = 1.4
+    # V-cycle executor: "auto" fuses each level into 2 Pallas launches when
+    # the j*k plane fits the kernels' VMEM budget (ops/pallas_mg.py; the XLA
+    # expression costs ~100 launches/cycle and is launch-overhead-bound on
+    # this chip); "xla"/"pallas" force a backend.
+    mg_backend: str = "auto"
 
     @property
     def grid_shape(self) -> tuple[int, int, int]:

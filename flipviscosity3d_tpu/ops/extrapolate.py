@@ -25,14 +25,22 @@ _NEIGHBOR_OFFSETS = (
 )
 
 
-def extrapolate_grid(grid, valid, num_layers: int):
+def extrapolate_grid(grid, valid, num_layers: int, interior=None,
+                     exchange=None):
     """Extrapolate `grid` values from `valid` cells outward `num_layers`
-    times. Returns (grid, valid) after extrapolation."""
+    times. Returns (grid, valid) after extrapolation.
+
+    `interior` overrides the not-on-array-border mask (the shard_map
+    pipeline passes GLOBAL-domain interiority of its local slab rows);
+    `exchange(g, v) -> (g, v)` runs before each layer (slab halo refresh)."""
     shape = grid.shape
-    interior = interior_mask(shape)
+    if interior is None:
+        interior = interior_mask(shape)
 
     def layer(_, carry):
         g, v = carry
+        if exchange is not None:
+            g, v = exchange(g, v)
         vf = v.astype(g.dtype)
         v_int = (v & interior).astype(g.dtype)
         cnt_all = jnp.zeros_like(g)

@@ -81,8 +81,18 @@ def stream_sort(
     key_pos, payload: Sequence[jnp.ndarray], dx: float, grid_shape
 ) -> ParticleStream:
     """Sort particles by home cell and index the runs."""
-    n_cells = grid_shape[0] * grid_shape[1] * grid_shape[2]
     key = cell_of_position(key_pos, dx, grid_shape)
+    return stream_sort_keys(key, payload, grid_shape)
+
+
+def stream_sort_keys(
+    key, payload: Sequence[jnp.ndarray], grid_shape
+) -> ParticleStream:
+    """stream_sort from precomputed flat cell keys. Keys may equal n_cells
+    to mark dead/padding particles: they sort to the end, belong to no cell
+    run, and never contribute to segment reductions (the shard_map pipeline
+    uses this for its fixed-capacity per-shard particle arrays)."""
+    n_cells = grid_shape[0] * grid_shape[1] * grid_shape[2]
     sorted_ops = lax.sort((key,) + tuple(payload), num_keys=1, is_stable=True)
     key_s = sorted_ops[0]
     new_run, starts, counts = cell_runs(key_s, n_cells)
@@ -90,17 +100,26 @@ def stream_sort(
                           counts)
 
 
-def _segscan_op(combine):
-    """Associative segmented-scan operator carrying (reset_flag, values)."""
+def _segscan(values, flag, combine):
+    """Segmented inclusive scan of (N, S) values with reset flags.
+
+    The flag travels as COLUMN 0 of the scanned array rather than as a
+    separate (N, 1) operand: TPU tiling pads a trailing dim of 1 to a full
+    (8, 128) tile - measured 128x memory expansion (1.96 GB per temp at 4M
+    particles), which OOMs the compile. As one (N, 1+S) array the padding
+    overhead is (S+2)/S-ish and the column slices fuse into the combine.
+    """
+    stacked = jnp.concatenate([flag[:, None].astype(values.dtype), values],
+                              axis=-1)
 
     def op(a, b):
-        fa, va = a
-        fb, vb = b
-        f = fa | fb
-        v = jnp.where(fb, vb, combine(va, vb))
-        return f, v
+        fa, va = a[..., 0:1], a[..., 1:]
+        fb, vb = b[..., 0:1], b[..., 1:]
+        f = jnp.maximum(fa, fb)
+        v = jnp.where(fb > 0, vb, combine(va, vb))
+        return jnp.concatenate([f, v], axis=-1)
 
-    return op
+    return lax.associative_scan(op, stacked)[..., 1:]
 
 
 def segment_reduce(
@@ -123,16 +142,10 @@ def segment_reduce(
     gathers = []
     if sums:
         stacked = jnp.stack(sums, axis=-1)  # (N, S)
-        _, scanned = lax.associative_scan(
-            _segscan_op(lambda a, b: a + b), (flag[:, None], stacked)
-        )
-        gathers.append(scanned)
+        gathers.append(_segscan(stacked, flag, lambda a, b: a + b))
     if mins:
         stacked = jnp.stack(mins, axis=-1)
-        _, scanned = lax.associative_scan(
-            _segscan_op(jnp.minimum), (flag[:, None], stacked)
-        )
-        gathers.append(scanned)
+        gathers.append(_segscan(stacked, flag, jnp.minimum))
     # value of each run at its last element; empty cells masked after
     ends = jnp.maximum(stream.starts[1:] - 1, 0)  # (n_cells,)
     all_cols = jnp.concatenate(gathers, axis=-1) if len(gathers) > 1 else gathers[0]

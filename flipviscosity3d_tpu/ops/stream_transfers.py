@@ -46,8 +46,17 @@ def _wyvill_weight(d2, dx):
     return jnp.where(d2 < r2, w, 0.0)
 
 
+def extrapolate_sdf_into_solid(phi, solid_center_phi, dx):
+    """Set phi = -0.5dx in near-surface solid cells
+    (particlelevelset.cpp:127-139). Split out so the shard_map pipeline can
+    halo-fold the raw per-cell mins before this elementwise pass."""
+    return jnp.where(
+        (phi < 0.5 * dx) & (solid_center_phi < 0), -0.5 * jnp.float32(dx), phi
+    )
+
+
 def p2g_sdf_stream(stream: ParticleStream, grid_shape, dx, radius,
-                   solid_center_phi, face_shapes):
+                   solid_center_phi, face_shapes, finalize=True):
     """Fused pass-A transfer: liquid SDF + all three P2G components.
 
     Builds per-particle quantities for every cell offset (27 SDF distances,
@@ -97,9 +106,8 @@ def p2g_sdf_stream(stream: ParticleStream, grid_shape, dx, radius,
             shifted_read(m.reshape(grid_shape), neg, grid_shape,
                          fill=jnp.inf),
         )
-    phi = jnp.where(
-        (phi < 0.5 * dx) & (solid_center_phi < 0), -0.5 * jnp.float32(dx), phi
-    )
+    if finalize:
+        phi = extrapolate_sdf_into_solid(phi, solid_center_phi, dx)
 
     acc = {
         c: (jnp.zeros(fs, jnp.float32), jnp.zeros(fs, jnp.float32))

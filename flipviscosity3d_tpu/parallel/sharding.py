@@ -41,10 +41,12 @@ def make_mesh(n_devices: int | None = None, axis: str = "x") -> Mesh:
 
 def grid_sharding(mesh: Mesh, shape, axis: str = "x") -> NamedSharding:
     """Every 3D grid shards along the SAME axis (i) so stencils become
-    one-cell halo exchanges instead of cross-axis reshards. pjit's
-    NamedSharding cannot express uneven shards, so the staggered/node arrays
-    whose i-extent is I+1 replicate under this path; the shard_map pipeline
-    (parallel/halo.py) is the layout that shards those too."""
+    one-cell halo exchanges instead of cross-axis reshards. The staggered/
+    node (I+1) extents cannot shard under pjit on this JAX version
+    (NamedSharding requires divisible dims — verified: device_put raises for
+    (17,16,16) over 8 devices), so those arrays replicate here; the
+    shard_map pipeline (parallel/halo.py) owns the fully-sharded uneven
+    layout."""
     n = mesh.shape[axis]
     if shape[0] % n == 0:
         return NamedSharding(mesh, P(axis, None, None))

@@ -195,9 +195,24 @@ def _dense_coarse_inverse(level: MGLevel):
 class MGHierarchy(NamedTuple):
     levels: tuple
     coarse_inv: jnp.ndarray | None  # None -> smooth the coarsest level
+    padded: tuple | None = None     # per level (diag_p, links_p) for pallas
 
 
 _DENSE_COARSE_MAX_CELLS = 4096
+# VMEM budget check for the fused kernels: ~21 blocks of (BI, J, K) f32
+_PALLAS_MAX_PLANE = 160 * 160
+
+
+def _use_pallas(cfg, levels) -> bool:
+    if cfg.mg_backend == "xla":
+        return False
+    if cfg.mg_backend == "pallas":
+        return True
+    # "auto": fused kernels on real TPU when the j*k plane fits their VMEM
+    # budget; plain XLA elsewhere (CPU tests would hit interpret mode)
+    fine = levels[0].diag.shape
+    plane_ok = fine[-2] * fine[-1] <= _PALLAS_MAX_PLANE
+    return plane_ok and jax.default_backend() == "tpu"
 
 
 def build_hierarchy(diag, links, cfg) -> MGHierarchy:
@@ -220,7 +235,14 @@ def build_hierarchy(diag, links, cfg) -> MGHierarchy:
         if n_coarse <= _DENSE_COARSE_MAX_CELLS
         else None
     )
-    return MGHierarchy(tuple(levels), inv)
+    padded = None
+    if _use_pallas(cfg, levels):
+        from ..ops import pallas_mg
+
+        padded = tuple(
+            pallas_mg.pad_level(lv.diag, lv.links) for lv in levels[:-1]
+        )
+    return MGHierarchy(tuple(levels), inv, padded)
 
 
 def _smooth(level: MGLevel, x, b, iters: int, omega: float):
@@ -244,7 +266,11 @@ def _coarse_solve(hier: MGHierarchy, b, pre, post, omega):
 
 def v_cycle(hier: MGHierarchy, b, pre: int, post: int, omega: float,
             coarse_scale: float):
-    """One V(pre,post) cycle from x=0; symmetric linear operator in b."""
+    """One V(pre,post) cycle from x=0; symmetric linear operator in b.
+    Dispatches to the fused Pallas kernels (V(1,1), ~2L+1 launches) when the
+    hierarchy carries padded level storage; the XLA expression otherwise."""
+    if hier.padded is not None:
+        return _v_cycle_pallas(hier, b, pre, post, omega, coarse_scale)
     levels = hier.levels
 
     def cycle(lvl: int, b):
@@ -259,6 +285,48 @@ def v_cycle(hier: MGHierarchy, b, pre: int, post: int, omega: float,
         return x
 
     return cycle(0, b)
+
+
+def _v_cycle_pallas(hier: MGHierarchy, b, pre, post, omega, coarse_scale):
+    """V(1,1) cycle through ops/pallas_mg's fused DOWN/UP kernels. The
+    smoothing counts are fixed at 1 each (the fused form); the coarsest
+    level reuses the dense inverse / smoothing fallback."""
+    from ..ops.pallas_mg import BI, down, up
+
+    levels = hier.levels
+    padded = hier.padded
+    nlev = len(levels)
+    batched = b.ndim == 4
+
+    def cycle(lvl: int, b_real):
+        # b_real: (nb, i, j, k), the level's real spatial shape
+        if lvl == nlev - 1:
+            if levels[lvl].diag.ndim == 3:
+                return _coarse_solve(hier, b_real[0], pre, post, omega)[None]
+            return _coarse_solve(hier, b_real, pre, post, omega)
+        diag_p, links_p = padded[lvl]
+        nb, pi, nj, nk = diag_p.shape
+        ni = b_real.shape[1]
+        b_p = jnp.pad(b_real, (
+            (0, 0), (BI, pi - ni - BI),
+            (0, nj - b_real.shape[2]), (0, nk - b_real.shape[3]),
+        ))
+        x_p, rc = down(diag_p, links_p, b_p, omega)
+        cshape = levels[lvl + 1].diag.shape[-3:]
+        rc_real = rc[:, BI // 2 : BI // 2 + cshape[0], : cshape[1],
+                     : cshape[2]]
+        xc_real = cycle(lvl + 1, rc_real)
+        xc_rc = jnp.pad(xc_real, (
+            (0, 0), (BI // 2, rc.shape[1] - cshape[0] - BI // 2),
+            (0, rc.shape[2] - cshape[1]), (0, rc.shape[3] - cshape[2]),
+        ))
+        x2 = up(diag_p, links_p, b_p, x_p, xc_rc, omega, coarse_scale)
+        rshape = levels[lvl].diag.shape[-3:]
+        return x2[:, BI : BI + rshape[0], : rshape[1], : rshape[2]]
+
+    b4 = b if batched else b[None]
+    out = cycle(0, b4)
+    return out if batched else out[0]
 
 
 def component_links(dir_factors, mask):

@@ -21,19 +21,36 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def _tree_dot(a, b, axis_name=None):
+def _tree_dot(a, b, axis_name=None, mask=None):
     leaves_a = jax.tree.leaves(a)
     leaves_b = jax.tree.leaves(b)
-    d = sum(jnp.vdot(x, y) for x, y in zip(leaves_a, leaves_b))
+    if mask is None:
+        d = sum(jnp.vdot(x, y) for x, y in zip(leaves_a, leaves_b))
+    else:
+        # where-based masking: halo rows may hold inf/NaN garbage and
+        # multiplying by a 0 mask would keep NaN (0*inf)
+        leaves_m = jax.tree.leaves(mask)
+        d = sum(
+            jnp.sum(jnp.where(m > 0, x * y, 0.0))
+            for x, y, m in zip(leaves_a, leaves_b, leaves_m)
+        )
     if axis_name is not None:
         d = lax.psum(d, axis_name)
     return d
 
 
-def _tree_absmax(a, axis_name=None):
-    m = jnp.max(
-        jnp.stack([jnp.max(jnp.abs(x)) for x in jax.tree.leaves(a)])
-    )
+def _tree_absmax(a, axis_name=None, mask=None):
+    leaves = jax.tree.leaves(a)
+    if mask is None:
+        m = jnp.max(jnp.stack([jnp.max(jnp.abs(x)) for x in leaves]))
+    else:
+        leaves_m = jax.tree.leaves(mask)
+        m = jnp.max(
+            jnp.stack([
+                jnp.max(jnp.where(mm > 0, jnp.abs(x), 0.0))
+                for x, mm in zip(leaves, leaves_m)
+            ])
+        )
     if axis_name is not None:
         m = lax.pmax(m, axis_name)
     return m
@@ -58,6 +75,7 @@ def pcg(
     max_iterations: int,
     x0=None,
     axis_name=None,
+    reduce_mask=None,
 ) -> PCGResult:
     """Solve A x = b with preconditioned CG.
 
@@ -76,6 +94,8 @@ def pcg(
     When running shard-local operands inside shard_map, pass `axis_name`:
     the CG reductions (dots, inf-norm) become psum/pmax collectives while
     apply_A/apply_M stay whatever halo-exchanging callables the caller built.
+    `reduce_mask` (a pytree of 0/1 float arrays matching b) restricts the
+    reductions to locally-OWNED rows so halo rows are not double-counted.
     """
     tol = jnp.asarray(tol, jnp.float32)
     if x0 is None:
@@ -85,8 +105,8 @@ def pcg(
         Ax0 = apply_A(x0)
         r0 = jax.tree.map(lambda bi, ai: bi - ai, b, Ax0)
     z0 = apply_M(r0)
-    sigma0 = _tree_dot(z0, r0, axis_name)
-    res0 = _tree_absmax(r0, axis_name)
+    sigma0 = _tree_dot(z0, r0, axis_name, reduce_mask)
+    res0 = _tree_absmax(r0, axis_name, reduce_mask)
 
     def cond(state):
         _, _, _, _, it, res = state
@@ -95,15 +115,15 @@ def pcg(
     def body(state):
         x, r, s, sigma, it, _ = state
         As = apply_A(s)
-        denom = _tree_dot(s, As, axis_name)
+        denom = _tree_dot(s, As, axis_name, reduce_mask)
         alpha = sigma / jnp.where(denom == 0, 1.0, denom)
         x = _tree_axpy(alpha, s, x)
         r = _tree_axpy(-alpha, As, r)
         z = apply_M(r)
-        sigma_new = _tree_dot(z, r, axis_name)
+        sigma_new = _tree_dot(z, r, axis_name, reduce_mask)
         beta = sigma_new / jnp.where(sigma == 0, 1.0, sigma)
         s = _tree_axpy(beta, s, z)
-        res = _tree_absmax(r, axis_name)
+        res = _tree_absmax(r, axis_name, reduce_mask)
         return x, r, s, sigma_new, it + 1, res
 
     x, r, s, sigma, it, res = lax.while_loop(

@@ -71,12 +71,18 @@ def liquid_face_weights(liquid_phi):
 
 
 def build_pressure_system(
-    u, v, w, liquid_phi, weight_u, weight_v, weight_w, dt, cfg: SimConfig
+    u, v, w, liquid_phi, weight_u, weight_v, weight_w, dt, cfg: SimConfig,
+    interior=None,
 ) -> PressureSystem:
-    shape = cfg.grid_shape
-    interior = range_mask(
-        shape, (1, 1, 1), (shape[0] - 1, shape[1] - 1, shape[2] - 1)
-    )
+    """`interior` overrides the row-eligibility mask (default: cells with
+    indices in [1, size-2] on every axis, pressuresolver.cpp:207-215). The
+    shard_map pipeline passes a slab-aware mask instead: interior relative
+    to the GLOBAL domain, not the local slab."""
+    shape = liquid_phi.shape
+    if interior is None:
+        interior = range_mask(
+            shape, (1, 1, 1), (shape[0] - 1, shape[1] - 1, shape[2] - 1)
+        )
     fluid = (liquid_phi < 0) & interior
     fluid_f = fluid.astype(jnp.float32)
 

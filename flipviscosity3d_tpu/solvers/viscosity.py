@@ -101,7 +101,7 @@ def compute_volume_grids(liquid_phi, cfg: SimConfig) -> VolumeGrids:
     average). Restricted to the fluid mask dilated 2 layers over the
     (I+1,J+1,K+1) valid-cell grid.
     """
-    isz, jsz, ksz = cfg.grid_shape
+    isz, jsz, ksz = liquid_phi.shape
 
     valid = jnp.zeros((isz + 1, jsz + 1, ksz + 1), bool)
     valid = valid.at[:isz, :jsz, :ksz].set(liquid_phi < 0)
@@ -166,8 +166,12 @@ def _row_range_mask(shape, cfg):
 
 def build_viscosity_system(
     u, v, w, volumes: VolumeGrids, states: FaceStates, viscosity_node, dt,
-    cfg: SimConfig
+    cfg: SimConfig, row_masks=None,
 ) -> ViscositySystem:
+    """`row_masks` (maskU, maskV, maskW) overrides the index-range row
+    eligibility (default: [1, size) per axis, the reference's assembly loop
+    bounds). The shard_map pipeline passes slab-aware masks relative to the
+    GLOBAL domain."""
     factor = jnp.float32(dt / (cfg.dx * cfg.dx))
     visc = viscosity_node
 
@@ -177,7 +181,13 @@ def build_viscosity_system(
     def avg4(shape, offsets):
         return 0.25 * sum(vr(o, shape) for o in offsets)
 
-    us, vs, ws = cfg.u_shape, cfg.v_shape, cfg.w_shape
+    us, vs, ws = u.shape, v.shape, w.shape
+    if row_masks is None:
+        row_masks = (
+            _row_range_mask(us, cfg),
+            _row_range_mask(vs, cfg),
+            _row_range_mask(ws, cfg),
+        )
 
     # ---- U rows (viscositysolver.cpp:374-469) ----
     visc_r = vr((0, 0, 0), us)
@@ -253,7 +263,7 @@ def build_viscosity_system(
 
     # ---- row masks (":276-366") ----
     in_u = (
-        _row_range_mask(us, cfg)
+        row_masks[0]
         & ~states.solid_u
         & (
             (shifted_read(volumes.u, (0, 0, 0), us) > 0)
@@ -266,7 +276,7 @@ def build_viscosity_system(
         )
     )
     in_v = (
-        _row_range_mask(vs, cfg)
+        row_masks[1]
         & ~states.solid_v
         & (
             (shifted_read(volumes.v, (0, 0, 0), vs) > 0)
@@ -279,7 +289,7 @@ def build_viscosity_system(
         )
     )
     in_w = (
-        _row_range_mask(ws, cfg)
+        row_masks[2]
         & ~states.solid_w
         & (
             (shifted_read(volumes.w, (0, 0, 0), ws) > 0)
@@ -325,7 +335,7 @@ def _apply_coupling(factors, xu, xv, xw, cfg: SimConfig):
     cross-component), with the signs of viscositysolver.cpp:431-446, 529-544,
     627-642."""
     fU, fV, fW = factors
-    us, vs, ws = cfg.u_shape, cfg.v_shape, cfg.w_shape
+    us, vs, ws = xu.shape, xv.shape, xw.shape
 
     def s(x, o, shape):
         return shifted_read(x, o, shape)

@@ -37,6 +37,10 @@ from flipviscosity3d_tpu.ops.stream import stream_sort
 
 RES = int(os.environ.get("RES", "128"))
 FILL = float(os.environ.get("FILL", "0.25"))  # fraction of domain with liquid
+# match bench.py's seeded particle count so kernel shapes (and the persistent
+# compile cache) line up with the headline benchmark
+NP_OVERRIDE = int(os.environ.get("NP", "4111806"))
+WITH_TABLE = os.environ.get("WITH_TABLE", "0") == "1"
 
 
 def timeit(name, fn, *args, n=3):
@@ -55,7 +59,7 @@ def main():
     cfg = SimConfig(isize=RES, jsize=RES, ksize=RES, dx=1.0 / RES)
     rng = np.random.default_rng(0)
     # ~8 particles per cell in the filled band, like seeding
-    n = int(8 * FILL * RES**3)
+    n = NP_OVERRIDE if NP_OVERRIDE > 0 else int(8 * FILL * RES**3)
     pos = rng.uniform(0.02, 0.98, size=(n, 3)).astype(np.float32)
     pos[:, 1] *= FILL
     pos = jnp.asarray(pos)
@@ -73,29 +77,30 @@ def main():
     payload6 = lambda p, vl: (p[:, 0], p[:, 1], p[:, 2],
                               vl[:, 0], vl[:, 1], vl[:, 2])
 
-    # ---------------- table engine ----------------
-    tbl = timeit(
-        "table: build_buckets (pass A)",
-        jax.jit(lambda p, vl: build_buckets(
-            p, payload6(p, vl), dx, shape, cfg.bucket_capacity)),
-        pos, vel,
-    )
-    print(f"#   overflow: {int(tbl.n_overflow)}", flush=True)
-    timeit(
-        "table: p2g_and_sdf",
-        jax.jit(lambda t: pg.p2g_and_sdf(
-            t, shape, dx, cfg.particle_radius, solid_phi, face_shapes)),
-        tbl,
-    )
-    timeit(
-        "table: g2p x2 grids + gather6",
-        jax.jit(lambda t: (
-            pg.sample_mac_at_table(t, u, v, w, dx),
-            pg.sample_mac_at_table(t, u, v, w, dx),
-            gather_results(t, t.fields),
-        )),
-        tbl,
-    )
+    # ---------------- table engine (round-1 numbers known; opt-in) --------
+    if WITH_TABLE:
+        tbl = timeit(
+            "table: build_buckets (pass A)",
+            jax.jit(lambda p, vl: build_buckets(
+                p, payload6(p, vl), dx, shape, cfg.bucket_capacity)),
+            pos, vel,
+        )
+        print(f"#   overflow: {int(tbl.n_overflow)}", flush=True)
+        timeit(
+            "table: p2g_and_sdf",
+            jax.jit(lambda t: pg.p2g_and_sdf(
+                t, shape, dx, cfg.particle_radius, solid_phi, face_shapes)),
+            tbl,
+        )
+        timeit(
+            "table: g2p x2 grids + gather6",
+            jax.jit(lambda t: (
+                pg.sample_mac_at_table(t, u, v, w, dx),
+                pg.sample_mac_at_table(t, u, v, w, dx),
+                gather_results(t, t.fields),
+            )),
+            tbl,
+        )
 
     # ---------------- stream engine ----------------
     strm = timeit(

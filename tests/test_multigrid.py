@@ -182,3 +182,37 @@ def test_galerkin_coarsening_is_exact_rap():
                 Ac[c, j] -= L[c]
                 Ac[j, c] -= L[c]
     np.testing.assert_allclose(Ac, Ac_dense, rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_vcycle_matches_xla():
+    """The fused Pallas V-cycle (interpret mode on CPU) must equal the XLA
+    V(1,1) cycle on the same hierarchy, unbatched and batched."""
+    rng = np.random.default_rng(7)
+    for shape in [(16, 16, 16), (3, 17, 18, 17)]:
+        spatial = shape[-3:]
+        diag = jnp.asarray(rng.uniform(1, 2, shape).astype(np.float32))
+        links = tuple(
+            jnp.asarray(rng.uniform(0, 0.25, shape).astype(np.float32))
+            for _ in range(3)
+        )
+        # zero boundary links like real premasked systems
+        mask = np.ones(shape, np.float32)
+        links = tuple(
+            l * jnp.asarray(mask) for l in links
+        )
+        b = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+        cfg_x = SimConfig(isize=16, jsize=16, ksize=16, dx=1.0 / 16,
+                          mg_backend="xla")
+        cfg_p = SimConfig(isize=16, jsize=16, ksize=16, dx=1.0 / 16,
+                          mg_backend="pallas")
+        hx = mg.build_hierarchy(diag, links, cfg_x)
+        hp = mg.build_hierarchy(diag, links, cfg_p)
+        out_x = jax.jit(
+            lambda b, h=hx: mg.v_cycle(h, b, 1, 1, 0.8, 1.4)
+        )(b)
+        out_p = jax.jit(
+            lambda b, h=hp: mg.v_cycle(h, b, 1, 1, 0.8, 1.4)
+        )(b)
+        np.testing.assert_allclose(
+            np.asarray(out_x), np.asarray(out_p), rtol=2e-5, atol=2e-5,
+        )

@@ -1,0 +1,96 @@
+"""shard_map slab pipeline vs the single-device engine.
+
+The slab decomposition (parallel/shard_step.py) must reproduce the
+single-device step: same substep count, same CG iteration counts (the
+masked psum reductions make the CG trajectories identical up to float
+reduction order), same particle cloud, same grids on owned rows.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from flipviscosity3d_tpu import FluidSimulation
+from flipviscosity3d_tpu.core import step as step_mod
+from flipviscosity3d_tpu.io.trianglemesh import box_mesh
+from flipviscosity3d_tpu.parallel import shard_step as sh
+
+N = 32
+NDEV = 4
+FRAMES = 2
+
+
+@pytest.fixture(scope="module")
+def scene():
+    sim = FluidSimulation()
+    # jacobi on both sides: the slab path uses jacobi (multigrid is a
+    # single-device construct), so iteration counts only match with jacobi
+    sim.initialize(
+        N, N, N, 1.0 / N,
+        pressure_preconditioner="jacobi",
+        viscosity_preconditioner="jacobi",
+    )
+    sim.add_liquid(box_mesh((0.2, 0.25, 0.2), (0.8, 0.6, 0.8)))
+    sim.set_viscosity(1.5)
+    sim.set_gravity(0.0, -9.81, 0.0)
+    return sim.cfg, sim.state
+
+
+def test_shard_step_matches_single_device(scene):
+    cfg, state = scene
+    mesh = Mesh(np.array(jax.devices()[:NDEV]), (sh.AXIS,))
+    spec = sh.make_spec(cfg, NDEV, n_particles=state.pos.shape[0])
+    ss = sh.shard_simstate(state, cfg, spec)
+
+    sstate = state
+    for _ in range(FRAMES):
+        sstate, sdiag = step_mod.advance(sstate, 0.01, cfg)
+        ss, mdiag = sh.advance_sharded(ss, 0.01, cfg, spec, mesh)
+        assert int(sdiag.substeps) == int(mdiag.substeps)
+        assert int(mdiag.bucket_overflow) == 0
+        # CG sees the same global reductions -> identical iteration counts
+        assert abs(
+            int(sdiag.pressure_iterations) - int(mdiag.pressure_iterations)
+        ) <= 1
+        assert abs(
+            int(sdiag.viscosity_iterations) - int(mdiag.viscosity_iterations)
+        ) <= 2
+
+    pos_m, _ = sh.gather_particles(ss)
+    pos_s = np.asarray(sstate.pos)
+    assert pos_m.shape == pos_s.shape
+    a = np.sort(pos_s, axis=0)
+    b = np.sort(pos_m, axis=0)
+    np.testing.assert_allclose(a, b, atol=5e-4)
+
+    u_m = sh.gather_grid_u(ss, spec)
+    np.testing.assert_allclose(
+        u_m, np.asarray(sstate.u), atol=5e-4,
+    )
+    v_m = sh.gather_grid_cell(ss.v, spec)
+    np.testing.assert_allclose(
+        v_m, np.asarray(sstate.v), atol=5e-4,
+    )
+
+
+def test_shard_step_inviscid(scene):
+    """Inviscid path (viscosity cond off) also matches."""
+    cfg, state = scene
+    cfg0 = dataclasses.replace(cfg)
+    state0 = state._replace(viscosity=jnp.zeros_like(state.viscosity))
+    mesh = Mesh(np.array(jax.devices()[:NDEV]), (sh.AXIS,))
+    spec = sh.make_spec(cfg0, NDEV, n_particles=state0.pos.shape[0])
+    ss = sh.shard_simstate(state0, cfg0, spec)
+
+    sstate, sdiag = step_mod.advance(state0, 0.01, cfg0)
+    ss, mdiag = sh.advance_sharded(ss, 0.01, cfg0, spec, mesh)
+    assert int(sdiag.substeps) == int(mdiag.substeps)
+    assert int(mdiag.viscosity_iterations) == 0
+    pos_m, _ = sh.gather_particles(ss)
+    a = np.sort(np.asarray(sstate.pos), axis=0)
+    b = np.sort(pos_m, axis=0)
+    np.testing.assert_allclose(a, b, atol=5e-4)

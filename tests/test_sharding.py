@@ -2,6 +2,8 @@
 on the virtual 8-device CPU mesh (the fake-backend strategy from SURVEY §4).
 """
 
+import os
+
 import numpy as np
 import pytest
 import jax
@@ -12,7 +14,9 @@ from flipviscosity3d_tpu import FluidSimulation
 from flipviscosity3d_tpu.core import step as step_mod
 from flipviscosity3d_tpu.io.trianglemesh import box_mesh
 
-N = 16
+# default 16 keeps the suite fast; the 64^3 validation run (VERDICT item 6)
+# is SHARD_TEST_RES=64 python -m pytest tests/test_sharding.py -x -q
+N = int(os.environ.get("SHARD_TEST_RES", "16"))
 NDEV = 8
 
 

