@@ -183,9 +183,9 @@ def _specs(nb, nblocks, bi, nj, nk, deltas):
     return out
 
 
-def pad_level(diag, links):
+def pad_level(diag, links, bi=BI):
     """Pad a level's arrays for the kernels: batch axis (add if missing),
-    BI front rows + back rows to a multiple of BI on i, j/k to even.
+    bi front rows + back rows to a multiple of bi on i, j/k to even.
 
     Links on the last REAL index of their own axis are zeroed: in the real
     (unpadded) operator they only ever multiply an out-of-range x (= 0), but
@@ -200,34 +200,34 @@ def pad_level(diag, links):
             idx[edge_axis + 1] = a.shape[edge_axis + 1] - 1
             a = a.at[tuple(idx)].set(0.0)
         nbt, ni, nj, nk = a.shape
-        back = (-(ni % -BI)) + BI  # to multiple of BI, plus one spare block
+        back = (-(ni % -bi)) + bi  # to multiple of bi, plus one spare block
         return jnp.pad(
-            a, ((0, 0), (BI, back), (0, nj % 2), (0, nk % 2))
+            a, ((0, 0), (bi, back), (0, nj % 2), (0, nk % 2))
         )
     return prep(diag), tuple(
         prep(l, edge_axis=ax) for ax, l in enumerate(links)
     )
 
 
-def down(diag_p, links_p, b_p, omega):
+def down(diag_p, links_p, b_p, omega, bi=BI):
     """One DOWN launch on pre-padded level arrays (nb, PI, J, K).
     Returns (x, rc) with x (nb, PI, J, K) and rc (nb, PI//2, J//2, K//2)."""
     nb, pi, nj, nk = diag_p.shape
-    nblocks = pi // BI
+    nblocks = pi // bi
     grid = (nb, nblocks)
     in_specs = []
     operands = []
     for a in (diag_p, *links_p, b_p):
-        in_specs += _specs(nb, nblocks, BI, nj, nk, (-1, 0, 1))
+        in_specs += _specs(nb, nblocks, bi, nj, nk, (-1, 0, 1))
         operands += [a, a, a]
     out_shapes = [
         jax.ShapeDtypeStruct((nb, pi, nj, nk), jnp.float32),
         jax.ShapeDtypeStruct((nb, pi // 2, nj // 2, nk // 2), jnp.float32),
     ]
     out_specs = [
-        pl.BlockSpec((1, BI, nj, nk), lambda c, b: (c, b, 0, 0),
+        pl.BlockSpec((1, bi, nj, nk), lambda c, b: (c, b, 0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, BI // 2, nj // 2, nk // 2),
+        pl.BlockSpec((1, bi // 2, nj // 2, nk // 2),
                      lambda c, b: (c, b, 0, 0), memory_space=pltpu.VMEM),
     ]
     x, rc = pl.pallas_call(
@@ -241,21 +241,21 @@ def down(diag_p, links_p, b_p, omega):
     return x, rc
 
 
-def up(diag_p, links_p, b_p, x, xc, omega, scale):
+def up(diag_p, links_p, b_p, x, xc, omega, scale, bi=BI):
     """One UP launch: x + scale*P(xc), post-smoothed. xc is (nb, PI//2,
     J//2, K//2) in the same padded layout as down()'s rc output."""
     nb, pi, nj, nk = diag_p.shape
-    nblocks = pi // BI
+    nblocks = pi // bi
     grid = (nb, nblocks)
     in_specs = []
     operands = []
     for a in (diag_p, *links_p, b_p, x):
-        in_specs += _specs(nb, nblocks, BI, nj, nk, (-1, 0, 1))
+        in_specs += _specs(nb, nblocks, bi, nj, nk, (-1, 0, 1))
         operands += [a, a, a]
-    in_specs += _specs(nb, nblocks, BI // 2, nj // 2, nk // 2, (-1, 0, 1))
+    in_specs += _specs(nb, nblocks, bi // 2, nj // 2, nk // 2, (-1, 0, 1))
     operands += [xc, xc, xc]
     out_shape = jax.ShapeDtypeStruct((nb, pi, nj, nk), jnp.float32)
-    out_spec = pl.BlockSpec((1, BI, nj, nk), lambda c, b: (c, b, 0, 0),
+    out_spec = pl.BlockSpec((1, bi, nj, nk), lambda c, b: (c, b, 0, 0),
                             memory_space=pltpu.VMEM)
     return pl.pallas_call(
         functools.partial(_up_kernel, float(omega), float(scale)),

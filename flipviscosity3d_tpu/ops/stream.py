@@ -100,26 +100,28 @@ def stream_sort_keys(
                           counts)
 
 
-def _segscan(values, flag, combine):
-    """Segmented inclusive scan of (N, S) values with reset flags.
+def _segscan(values, key_s, combine):
+    """Keyed segmented inclusive scan of (N, S) values over sorted keys.
 
-    The flag travels as COLUMN 0 of the scanned array rather than as a
-    separate (N, 1) operand: TPU tiling pads a trailing dim of 1 to a full
-    (8, 128) tile - measured 128x memory expansion (1.96 GB per temp at 4M
-    particles), which OOMs the compile. As one (N, 1+S) array the padding
-    overhead is (S+2)/S-ish and the column slices fuse into the combine.
+    The classic keyed-scan operator: combine two partials iff they belong
+    to the same key run (associative for sorted keys). The segment marker
+    travels as the 1D int32 key array - NOT as a flag plane or an (N, 1)
+    column: TPU tiling pads a trailing dim of 1 to a full (8, 128) tile
+    (measured 128x expansion, 1.96 GB per temp at 4M particles), and both a
+    stacked flag column and a pre-broadcast (N, S) flag plane get
+    rematerialized inside the substep while-loop through an (N, 1) reshape,
+    OOMing the compile. Here the only 2D broadcast is eq[:, None] feeding a
+    select, which fuses.
     """
-    stacked = jnp.concatenate([flag[:, None].astype(values.dtype), values],
-                              axis=-1)
 
     def op(a, b):
-        fa, va = a[..., 0:1], a[..., 1:]
-        fb, vb = b[..., 0:1], b[..., 1:]
-        f = jnp.maximum(fa, fb)
-        v = jnp.where(fb > 0, vb, combine(va, vb))
-        return jnp.concatenate([f, v], axis=-1)
+        ka, va = a
+        kb, vb = b
+        eq = ka == kb
+        v = jnp.where(eq[:, None], combine(va, vb), vb)
+        return kb, v
 
-    return lax.associative_scan(op, stacked)[..., 1:]
+    return lax.associative_scan(op, (key_s, values))[1]
 
 
 def segment_reduce(
@@ -137,15 +139,14 @@ def segment_reduce(
     index set) produce every quantity at once.
     """
     n_cells = stream.counts.shape[0]
-    flag = stream.new_run
     outs = []
     gathers = []
     if sums:
         stacked = jnp.stack(sums, axis=-1)  # (N, S)
-        gathers.append(_segscan(stacked, flag, lambda a, b: a + b))
+        gathers.append(_segscan(stacked, stream.key, lambda a, b: a + b))
     if mins:
         stacked = jnp.stack(mins, axis=-1)
-        gathers.append(_segscan(stacked, flag, jnp.minimum))
+        gathers.append(_segscan(stacked, stream.key, jnp.minimum))
     # value of each run at its last element; empty cells masked after
     ends = jnp.maximum(stream.starts[1:] - 1, 0)  # (n_cells,)
     all_cols = jnp.concatenate(gathers, axis=-1) if len(gathers) > 1 else gathers[0]

@@ -239,9 +239,13 @@ def build_hierarchy(diag, links, cfg) -> MGHierarchy:
     if _use_pallas(cfg, levels):
         from ..ops import pallas_mg
 
-        padded = tuple(
-            pallas_mg.pad_level(lv.diag, lv.links) for lv in levels[:-1]
-        )
+        # block row count: the UP kernel holds ~21 (bi, J, K) f32 blocks in
+        # VMEM; bi=4 fits up to ~128^2 planes, larger planes drop to bi=2
+        fine = levels[0].diag.shape
+        bi = 4 if fine[-2] * fine[-1] <= 128 * 128 else 2
+        padded = (bi, tuple(
+            pallas_mg.pad_level(lv.diag, lv.links, bi) for lv in levels[:-1]
+        ))
     return MGHierarchy(tuple(levels), inv, padded)
 
 
@@ -291,10 +295,10 @@ def _v_cycle_pallas(hier: MGHierarchy, b, pre, post, omega, coarse_scale):
     """V(1,1) cycle through ops/pallas_mg's fused DOWN/UP kernels. The
     smoothing counts are fixed at 1 each (the fused form); the coarsest
     level reuses the dense inverse / smoothing fallback."""
-    from ..ops.pallas_mg import BI, down, up
+    from ..ops.pallas_mg import down, up
 
     levels = hier.levels
-    padded = hier.padded
+    bi, padded = hier.padded
     nlev = len(levels)
     batched = b.ndim == 4
 
@@ -308,21 +312,21 @@ def _v_cycle_pallas(hier: MGHierarchy, b, pre, post, omega, coarse_scale):
         nb, pi, nj, nk = diag_p.shape
         ni = b_real.shape[1]
         b_p = jnp.pad(b_real, (
-            (0, 0), (BI, pi - ni - BI),
+            (0, 0), (bi, pi - ni - bi),
             (0, nj - b_real.shape[2]), (0, nk - b_real.shape[3]),
         ))
-        x_p, rc = down(diag_p, links_p, b_p, omega)
+        x_p, rc = down(diag_p, links_p, b_p, omega, bi)
         cshape = levels[lvl + 1].diag.shape[-3:]
-        rc_real = rc[:, BI // 2 : BI // 2 + cshape[0], : cshape[1],
+        rc_real = rc[:, bi // 2 : bi // 2 + cshape[0], : cshape[1],
                      : cshape[2]]
         xc_real = cycle(lvl + 1, rc_real)
         xc_rc = jnp.pad(xc_real, (
-            (0, 0), (BI // 2, rc.shape[1] - cshape[0] - BI // 2),
+            (0, 0), (bi // 2, rc.shape[1] - cshape[0] - bi // 2),
             (0, rc.shape[2] - cshape[1]), (0, rc.shape[3] - cshape[2]),
         ))
-        x2 = up(diag_p, links_p, b_p, x_p, xc_rc, omega, coarse_scale)
+        x2 = up(diag_p, links_p, b_p, x_p, xc_rc, omega, coarse_scale, bi)
         rshape = levels[lvl].diag.shape[-3:]
-        return x2[:, BI : BI + rshape[0], : rshape[1], : rshape[2]]
+        return x2[:, bi : bi + rshape[0], : rshape[1], : rshape[2]]
 
     b4 = b if batched else b[None]
     out = cycle(0, b4)

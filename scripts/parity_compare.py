@@ -49,6 +49,10 @@ def main():
     ap.add_argument("--frames", type=int, default=40)
     ap.add_argument("--resolution", type=int, default=32)
     ap.add_argument("--viscosity", type=float, default=5.0)
+    ap.add_argument("--boundary",
+                    default="/root/reference/sample_meshes/sphere_large.ply")
+    ap.add_argument("--liquid",
+                    default="/root/reference/sample_meshes/stanford_bunny.ply")
     args = ap.parse_args()
 
     from flipviscosity3d_tpu import FluidSimulation
@@ -57,13 +61,8 @@ def main():
     n = args.resolution
     sim = FluidSimulation()
     sim.initialize(n, n, n, 1.0 / n)
-    sim.add_boundary(
-        tm.load_ply("/root/reference/sample_meshes/sphere_large.ply"),
-        inverted=True,
-    )
-    sim.add_liquid(
-        tm.load_ply("/root/reference/sample_meshes/stanford_bunny.ply")
-    )
+    sim.add_boundary(tm.load_ply(args.boundary), inverted=True)
+    sim.add_liquid(tm.load_ply(args.liquid))
     sim.set_viscosity(args.viscosity)
     sim.set_gravity(0.0, -9.81, 0.0)
 
