@@ -62,12 +62,16 @@ class SimConfig:
     viscosity_solve_rtol: float = 1e-6
     viscosity_acceptable_error: float = 10.0
 
-    # Particle engine. "stream" (default): sorted-stream segment reductions,
-    # no tables, no capacity limit, every particle always participates
-    # (ops/stream.py). "table": the round-1 fixed-capacity bucket tables
-    # (ops/buckets.py) — kept for A/B validation; capacity overflow there
-    # follows on_bucket_overflow.
-    particle_engine: str = "stream"
+    # Particle engine. "table" (default): fixed-capacity bucket tables with
+    # dense per-slot transfers (ops/buckets.py, ops/particle_grid.py) —
+    # measured fastest at multi-million particles, where XLA gathers/
+    # scatters cost ~6-10 ns per ELEMENT (row gather (4.1M, 54) = 323 ms,
+    # scatter-min (4.1M, 27) = 560 ms) so the stream engine's per-particle
+    # row ops lose to dense slot arithmetic. "stream": sorted-stream segment
+    # reductions — no capacity limit, no overflow, faster at small N; used
+    # by the shard_map slab pipeline (small per-shard N) and available for
+    # scenes where the capacity contract matters more than throughput.
+    particle_engine: str = "table"
 
     # Bucketed particle-engine capacity: max particles tracked per grid cell.
     # Seeding places 8 per cell; FLIP compression packs more (the 64^3 bunny
