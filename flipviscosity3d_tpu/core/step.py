@@ -14,8 +14,10 @@ Particle work runs on one of two engines (cfg.particle_engine):
   as row-gathers of stacked per-cell grid columns keyed by per-particle cell
   indices (ops/stream.py, ops/stream_transfers.py). No scatters besides the
   run-start index build, no capacity limit, no overflow.
-- "table": the round-1 three-pass fixed-capacity bucket tables
-  (ops/buckets.py, ops/particle_grid.py), kept for A/B validation.
+- "table": fixed-capacity bucket tables with dense per-slot transfers
+  (ops/buckets.py, ops/particle_grid.py) — two table passes (A by position,
+  B by RK2 midpoint) plus a gather-based pushback stage; fastest at
+  multi-million particles (see docs/DESIGN.md measurements).
 
 Divergences from the reference, all documented where they occur:
 - MIC(0) preconditioning -> Galerkin-aggregation multigrid / Jacobi
@@ -340,43 +342,32 @@ def _step_table(state: SimState, dt, cfg: SimConfig):
     fnpy = sbpy + dt * fv2y
     fnpz = sbpz + dt * fv2z
 
-    # ---------------- PASS C: clamp + solid pushback ----------------
+    # ---------------- clamp + solid pushback (no third bucket pass) ------
+    # The pushback's 8 trilinear corners are exactly the clamped position's
+    # home-cell nodes, so ONE (N, 8) row-gather of the node SDF keyed by the
+    # home cell replaces the round-1 pass-C table build (a full sort + 3
+    # table scatters, ~3x the cost of the gather at 4M particles); every
+    # particle participates (no overflow fallback on this stage).
     lo, hi = _clamp_bounds(cfg)
     cpx = jnp.clip(fnpx, lo[0], hi[0])
     cpy = jnp.clip(fnpy, lo[1], hi[1])
     cpz = jnp.clip(fnpz, lo[2], hi[2])
-
-    table_c = build_buckets(
-        jnp.stack([cpx, cpy, cpz], axis=1),
-        (cpx, cpy, cpz, sbvx, sbvy, sbvz),
-        dx,
-        shape,
-        cfg.bucket_capacity,
-        n_table_fields=3,  # pushback only reads positions
+    key_c = cell_of_position(
+        jnp.stack([cpx, cpy, cpz], axis=1), dx, shape
     )
-    dpx, dpy, dpz = pg.solid_pushback_displacement(
-        table_c, solid.phi, dx, shape
+    dpx, dpy, dpz = st.solid_pushback_at(
+        cpx, cpy, cpz, key_c, solid.phi, dx, shape
     )
-    fx, fy, fz = gather_results(
-        table_c,
-        (table_c.fields[0] + dpx, table_c.fields[1] + dpy,
-         table_c.fields[2] + dpz),
-        fallbacks=table_c.sorted[0:3],
-    )
-    fx = jnp.clip(fx, lo[0], hi[0])
-    fy = jnp.clip(fy, lo[1], hi[1])
-    fz = jnp.clip(fz, lo[2], hi[2])
+    fx = jnp.clip(cpx + dpx, lo[0], hi[0])
+    fy = jnp.clip(cpy + dpy, lo[1], hi[1])
+    fz = jnp.clip(cpz + dpz, lo[2], hi[2])
 
     new_pos = jnp.stack([fx, fy, fz], axis=1)
-    new_vel = jnp.stack(
-        [table_c.sorted[3], table_c.sorted[4], table_c.sorted[5]], axis=1
-    )
+    new_vel = jnp.stack([sbvx, sbvy, sbvz], axis=1)
 
     new_state = state._replace(pos=new_pos, vel=new_vel, u=u, v=v, w=w)
     diag = dict(
-        bucket_overflow=table_a.n_overflow
-        + table_b.n_overflow
-        + table_c.n_overflow,
+        bucket_overflow=table_a.n_overflow + table_b.n_overflow,
         **solver_diag,
     )
     return new_state, diag
