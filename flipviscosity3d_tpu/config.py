@@ -45,9 +45,11 @@ class SimConfig:
     # Jittered seeding samples per cell (fluidsimulation.cpp:79)
     particles_per_cell: int = 8
 
-    # Velocity extrapolation layers = ceil(cfl) + 2 (fluidsimulation.cpp:690-694)
-    # stored explicitly so it stays a static python int.
-    extrapolation_layers: int = 7
+    # Velocity extrapolation layers = ceil(cfl) + 2 (fluidsimulation.cpp:690-694).
+    # The reference recomputes this per call; here it must be a static python
+    # int, so None (the default) derives ceil(cfl_number) + 2 at construction
+    # and an explicit int overrides it.
+    extrapolation_layers: int | None = None
 
     # Pressure solve (pressuresolver.h:224-225). The reference uses an absolute
     # inf-norm tolerance of 1e-9 with MICCG in float64; in float32 on TPU we use
@@ -118,6 +120,15 @@ class SimConfig:
     # expression costs ~100 launches/cycle and is launch-overhead-bound on
     # this chip); "xla"/"pallas" force a backend.
     mg_backend: str = "auto"
+
+    def __post_init__(self):
+        if self.extrapolation_layers is None:
+            import math
+
+            object.__setattr__(
+                self, "extrapolation_layers",
+                int(math.ceil(self.cfl_number)) + 2,
+            )
 
     @property
     def grid_shape(self) -> tuple[int, int, int]:

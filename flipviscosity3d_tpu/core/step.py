@@ -9,15 +9,16 @@ latency is ~34ms).
 
 Particle work runs on one of two engines (cfg.particle_engine):
 
-- "stream" (default): ONE lax.sort per substep; liquid SDF + P2G as
-  segmented scans over the sorted stream; G2P / RK2 stage 2 / solid pushback
-  as row-gathers of stacked per-cell grid columns keyed by per-particle cell
-  indices (ops/stream.py, ops/stream_transfers.py). No scatters besides the
-  run-start index build, no capacity limit, no overflow.
-- "table": fixed-capacity bucket tables with dense per-slot transfers
-  (ops/buckets.py, ops/particle_grid.py) — two table passes (A by position,
-  B by RK2 midpoint) plus a gather-based pushback stage; fastest at
-  multi-million particles (see docs/DESIGN.md measurements).
+- "table" (default): fixed-capacity bucket tables with dense per-slot
+  transfers (ops/buckets.py, ops/particle_grid.py) — two table passes (A by
+  position, B by RK2 midpoint) plus a gather-based pushback stage; fastest
+  at multi-million particles (see docs/DESIGN.md measurements).
+- "stream": ONE lax.sort per substep; liquid SDF + P2G as segmented scans
+  over the sorted stream; G2P / RK2 stage 2 / solid pushback as row-gathers
+  of stacked per-cell grid columns keyed by per-particle cell indices
+  (ops/stream.py, ops/stream_transfers.py). No scatters besides the
+  run-start index build, no capacity limit, no overflow; used by the
+  shard_map slab pipeline and fastest at small N.
 
 Divergences from the reference, all documented where they occur:
 - MIC(0) preconditioning -> Galerkin-aggregation multigrid / Jacobi

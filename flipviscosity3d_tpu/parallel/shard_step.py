@@ -102,6 +102,13 @@ def make_spec(cfg: SimConfig, n: int, halo_width: int = 6,
             f"slab width {B} <= CFL {cfg.cfl_number}: migration assumes "
             "at most one-shard moves per substep"
         )
+    if halo_width < cfg.cfl_number + 1:
+        raise ValueError(
+            f"halo width {halo_width} < cfl_number + 1 "
+            f"({cfg.cfl_number + 1:g}): advected/midpoint positions could "
+            "leave the slab halo and the RK2/pushback stencils would "
+            "silently sample clamped (wrong) cells"
+        )
     per = int(np.ceil(n_particles / n))
     mig = max(256, per // 4)
     cap = int(np.ceil(per * cap_factor / 8) * 8) + 2 * mig
@@ -692,18 +699,25 @@ def _migrate(px, py, pz, vx, vy, vz, alive, dx, spec: SlabSpec):
     idx = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)[:, 0]
     stay_alive = idx < nS
 
-    # place arrivals into the dead region [nS, nS+2M)
+    # place arrivals into the dead region [nS, nS+2M). The write happens on a
+    # 2M-row padded copy so dynamic_update_slice never clamps the start index
+    # when a skewed scene fills the shard (nS > n - 2M): excess arrival rows
+    # land in the padding and are dropped (counted in n_lost) instead of
+    # silently overwriting live stayer rows.
     arrivals = jnp.concatenate([from_left_buf, from_right_buf], axis=0)
     arr_valid = jnp.concatenate([from_left_valid, from_right_valid])
-    out = lax.dynamic_update_slice_in_dim(stay, arrivals, nS, axis=0)
+    stay_padded = jnp.concatenate([stay, jnp.zeros((2 * M, 6), stay.dtype)])
+    out = lax.dynamic_update_slice_in_dim(stay_padded, arrivals, nS, axis=0)[:n]
     arr_alive = (idx >= nS) & (idx < nS + 2 * M)
     arr_idx = jnp.clip(idx - nS, 0, 2 * M - 1)
     alive_out = jnp.where(
         arr_alive, jnp.take(arr_valid, arr_idx), stay_alive
     )
+    arr_slot = jax.lax.broadcasted_iota(jnp.int32, (2 * M, 1), 0)[:, 0]
+    n_dropped = jnp.sum((arr_valid & (nS + arr_slot >= n)).astype(jnp.int32))
     new_pos = out[:, :3]
     new_vel = out[:, 3:]
-    return new_pos, new_vel, alive_out, n_lost
+    return new_pos, new_vel, alive_out, n_lost + n_dropped
 
 
 # --------------------------------------------------------------------------

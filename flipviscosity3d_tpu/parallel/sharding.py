@@ -3,8 +3,10 @@
 The reference is single-process/single-threaded (SURVEY.md §2); scaling past
 one chip is a new first-class capability here. Design: pjit with
 NamedSharding domain decomposition — EVERY 3D grid is sharded along the same
-axis (i), including the staggered +1 extents and the node-shaped grids
-(solid.phi, viscosity), which shard unevenly (GSPMD pads the last shard).
+axis (i); the staggered +1 extents and the node-shaped grids (solid.phi,
+viscosity) REPLICATE on this JAX version (NamedSharding requires divisible
+dims — see grid_sharding below; the shard_map slab pipeline owns the fully
+sharded uneven layout).
 One consistent axis means every stencil's shifted-slice reads partition into
 one-cell halo exchanges along i instead of cross-axis reshards; particle
 arrays split by index. XLA SPMD inserts the collectives (see

@@ -168,7 +168,12 @@ def _dense_coarse_inverse(level: MGLevel):
 
     def build_one(dflat, links_flat):
         A = jnp.zeros((n, n), level.diag.dtype)
-        A = A.at[eye, eye].set(jnp.where(dflat > 0, dflat, 1.0))
+        # 1e-5 relative diagonal shift (Tikhonov): a fully enclosed liquid
+        # (no free surface) makes the pressure system pure-Neumann, so the
+        # Galerkin coarse operator is exactly singular (constant nullspace)
+        # and a plain inverse would inject inf/NaN into every solve. The
+        # shifted inverse stays SPD and is still an excellent preconditioner.
+        A = A.at[eye, eye].set(jnp.where(dflat > 0, dflat * (1.0 + 1e-5), 1.0))
         strides = (spatial[1] * spatial[2], spatial[2], 1)
         for ax in _AXES:
             # boundary links are zero by construction, so the wrapped flat
@@ -207,9 +212,20 @@ def _use_pallas(cfg, levels) -> bool:
     if cfg.mg_backend == "xla":
         return False
     if cfg.mg_backend == "pallas":
+        # the fused kernels implement V(1,1) only; forcing them with other
+        # smoothing counts would silently change the preconditioner
+        if (cfg.mg_pre_smooth, cfg.mg_post_smooth) != (1, 1):
+            raise ValueError(
+                "mg_backend='pallas' implements V(1,1) smoothing only; got "
+                f"pre={cfg.mg_pre_smooth} post={cfg.mg_post_smooth} "
+                "(use mg_backend='xla' for other counts)"
+            )
         return True
     # "auto": fused kernels on real TPU when the j*k plane fits their VMEM
-    # budget; plain XLA elsewhere (CPU tests would hit interpret mode)
+    # budget AND the requested cycle is the V(1,1) the kernels implement;
+    # plain XLA elsewhere (CPU tests would hit interpret mode)
+    if (cfg.mg_pre_smooth, cfg.mg_post_smooth) != (1, 1):
+        return False
     fine = levels[0].diag.shape
     plane_ok = fine[-2] * fine[-1] <= _PALLAS_MAX_PLANE
     return plane_ok and jax.default_backend() == "tpu"
