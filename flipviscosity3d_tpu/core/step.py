@@ -39,6 +39,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..config import SimConfig
+from ..ops import pallas_particles as pp
 from ..ops import particle_grid as pg
 from ..ops import stream_transfers as st
 from ..ops.buckets import build_buckets, cell_of_position, gather_results
@@ -374,11 +375,103 @@ def _step_table(state: SimState, dt, cfg: SimConfig):
     return new_state, diag
 
 
+def _step_pallas(state: SimState, dt, cfg: SimConfig):
+    """One CFL substep on the tile-block Pallas engine
+    (ops/pallas_particles.py): one-hot MXU matmuls replace every irregular
+    particle<->grid op. Same three-pass structure as the table engine:
+    pass A keyed by position (P2G + SDF table + G2P), pass B keyed by the
+    RK2 midpoint (stage-2 sample), then clamp + solid pushback."""
+    dx = cfg.dx
+    shape = cfg.grid_shape
+    solid = state.solid
+    cap = cfg.bucket_capacity
+
+    # ---------------- PASS A ----------------
+    stream = pp.tiled_sort(state.pos, state.vel, dx, shape)
+    spx, spy, spz = stream.sorted[0], stream.sorted[1], stream.sorted[2]
+    svx, svy, svz = stream.sorted[3], stream.sorted[4], stream.sorted[5]
+
+    out = pp.scatter_p2g_table(stream.starts, stream.payload, shape, dx, cap)
+    sums, tbl_fields = pp.split_scatter_output(out, shape, cap)
+    liquid_phi = pp.liquid_sdf_from_fields(
+        tbl_fields, shape, dx, cfg.particle_radius, solid.center_phi)
+    p2g_sums = pp.p2g_combine(
+        sums, shape, (cfg.u_shape, cfg.v_shape, cfg.w_shape))
+
+    (u, v, w), (saved_u, saved_v, saved_w), fluid, solver_diag = _grid_update(
+        state, liquid_phi, p2g_sums, dt, cfg
+    )
+
+    # ---------------- G2P + advection ----------------
+    cols_a = pp.to_tile_major(pp.build_mac_columns(
+        [u, saved_u], [v, saved_v], [w, saved_w], shape))
+    keys_f32 = stream.payload[6:7]
+    rows_a = pp.gather_rows(stream.spans, keys_f32, cols_a, stream.n)
+    (nu, ou), (nv, ov), (nw, ow) = pp.combine_mac_samples(
+        rows_a, spx, spy, spz, stream.key, dx, shape, 2)
+    r = jnp.float32(cfg.ratio_pic_flip)
+    vel_x = r * nu + (1.0 - r) * (svx + nu - ou)
+    vel_y = r * nv + (1.0 - r) * (svy + nv - ov)
+    vel_z = r * nw + (1.0 - r) * (svz + nw - ow)
+
+    # RK2 stage 1 midpoint from the grid velocity (fluidsimulation.cpp:535)
+    mx = spx + 0.5 * dt * nu
+    my = spy + 0.5 * dt * nv
+    mz = spz + 0.5 * dt * nw
+
+    # ---------------- PASS B: re-key by midpoint ----------------
+    key_m = pp.key_of_position(jnp.stack([mx, my, mz], axis=1), dx, shape)
+    key_b, sorted_b, spans_b, keys_b_f32 = pp.sort_by_key(
+        key_m, (mx, my, mz, spx, spy, spz, vel_x, vel_y, vel_z))
+    bmx, bmy, bmz, bpx, bpy, bpz, bvx, bvy, bvz = sorted_b
+    ext = jnp.array([shape[0] * dx, shape[1] * dx, shape[2] * dx],
+                    jnp.float32)
+    inside_m = (
+        (bmx >= 0) & (bmx < ext[0])
+        & (bmy >= 0) & (bmy < ext[1])
+        & (bmz >= 0) & (bmz < ext[2])
+    )
+    cols_b = pp.to_tile_major(pp.build_mac_columns([u], [v], [w], shape))
+    rows_b = pp.gather_rows(spans_b, keys_b_f32, cols_b, stream.n)
+    (v2x,), (v2y,), (v2z,) = pp.combine_mac_samples(
+        rows_b, bmx, bmy, bmz, key_b, dx, shape, 1, valid=inside_m)
+    fnpx = bpx + dt * v2x
+    fnpy = bpy + dt * v2y
+    fnpz = bpz + dt * v2z
+
+    # ---------------- clamp + solid pushback ----------------
+    lo, hi = _clamp_bounds(cfg)
+    cpx = jnp.clip(fnpx, lo[0], hi[0])
+    cpy = jnp.clip(fnpy, lo[1], hi[1])
+    cpz = jnp.clip(fnpz, lo[2], hi[2])
+    key_c = cell_of_position(jnp.stack([cpx, cpy, cpz], axis=1), dx, shape)
+    dpx, dpy, dpz = st.solid_pushback_at(
+        cpx, cpy, cpz, key_c, solid.phi, dx, shape
+    )
+    fx = jnp.clip(cpx + dpx, lo[0], hi[0])
+    fy = jnp.clip(cpy + dpy, lo[1], hi[1])
+    fz = jnp.clip(cpz + dpz, lo[2], hi[2])
+
+    new_pos = jnp.stack([fx, fy, fz], axis=1)
+    new_vel = jnp.stack([bvx, bvy, bvz], axis=1)
+
+    new_state = state._replace(pos=new_pos, vel=new_vel, u=u, v=v, w=w)
+    # P2G/G2P include every particle here; overflow only limits the SDF table
+    diag = dict(
+        bucket_overflow=jnp.sum((stream.rank >= cap).astype(jnp.int32)),
+        **solver_diag,
+    )
+    return new_state, diag
+
+
 def step(state: SimState, dt, cfg: SimConfig):
     """One CFL substep (the body of the reference's advance loop,
     fluidsimulation.cpp:144-166). Returns (state, diagnostics pieces)."""
     if cfg.particle_engine == "stream":
         return _step_stream(state, dt, cfg)
+    if cfg.particle_engine == "pallas":
+        pp.check_grid(cfg.grid_shape)
+        return _step_pallas(state, dt, cfg)
     return _step_table(state, dt, cfg)
 
 

@@ -1,0 +1,152 @@
+"""The tile-block Pallas particle engine must reproduce the table engine.
+
+Runs in interpret mode on the CPU test backend (conftest forces cpu), so
+these tests exercise the kernels' logic, not Mosaic lowering; the TPU-side
+numerics are additionally covered by scripts/pallas_particle_proto.py.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from flipviscosity3d_tpu.config import SimConfig
+from flipviscosity3d_tpu.core import step as step_mod
+from flipviscosity3d_tpu.core.sim import FluidSimulation
+from flipviscosity3d_tpu.io.trianglemesh import box_mesh
+from flipviscosity3d_tpu.ops import pallas_particles as pp
+
+
+def make_sim(engine, res=16, seed_box=(0.2, 0.2, 0.2, 0.8, 0.55, 0.8)):
+    sim = FluidSimulation()
+    sim.initialize(res, res, res, 1.0 / res, particle_engine=engine,
+                   bucket_capacity=16)
+    x0, y0, z0, x1, y1, z1 = seed_box
+    sim.add_liquid(box_mesh((x0, y0, z0), (x1, y1, z1)))
+    sim.set_viscosity(2.0)
+    sim.set_gravity(0.0, -9.81, 0.0)
+    return sim
+
+
+def test_tile_key_roundtrip():
+    shape = (16, 24, 32)
+    rng = np.random.default_rng(0)
+    idx = jnp.asarray(
+        rng.integers(0, np.array(shape), size=(1000, 3)), jnp.int32)
+    key = pp.tile_major_key(idx, shape)
+    i, j, k = pp.decode_key(key, shape)
+    np.testing.assert_array_equal(np.asarray(i), np.asarray(idx[:, 0]))
+    np.testing.assert_array_equal(np.asarray(j), np.asarray(idx[:, 1]))
+    np.testing.assert_array_equal(np.asarray(k), np.asarray(idx[:, 2]))
+    # distinct cells -> distinct keys, range [0, n_cells)
+    assert int(jnp.max(key)) < shape[0] * shape[1] * shape[2]
+    assert int(jnp.min(key)) >= 0
+
+
+def test_tile_major_layout_roundtrip():
+    shape = (16, 8, 24)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((*shape, 3)), jnp.float32)
+    y = pp.to_tile_major(x)
+    back = pp.from_tile_major(y, shape)
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+    # tile-major block b, lane l holds cell decode(b*W + l)
+    keys = pp.tile_major_key(
+        jnp.stack(jnp.meshgrid(
+            jnp.arange(shape[0]), jnp.arange(shape[1]),
+            jnp.arange(shape[2]), indexing="ij"), axis=-1), shape)
+    flat = y.reshape(-1, 3)
+    np.testing.assert_array_equal(
+        np.asarray(flat[np.asarray(keys).reshape(-1)]),
+        np.asarray(x.reshape(-1, 3)))
+
+
+def test_scatter_matches_table_engine():
+    """P2G sums + SDF from the pallas pass A == table engine's pass A."""
+    sim_t = make_sim("table")
+    cfg_t = sim_t.cfg
+    state = sim_t.state
+
+    from flipviscosity3d_tpu.ops.buckets import build_buckets
+    from flipviscosity3d_tpu.ops import particle_grid as pg
+
+    table = build_buckets(
+        state.pos,
+        (state.pos[:, 0], state.pos[:, 1], state.pos[:, 2],
+         state.vel[:, 0], state.vel[:, 1], state.vel[:, 2]),
+        cfg_t.dx, cfg_t.grid_shape, cfg_t.bucket_capacity,
+    )
+    phi_t, sums_t = pg.p2g_and_sdf(
+        table, cfg_t.grid_shape, cfg_t.dx, cfg_t.particle_radius,
+        state.solid.center_phi,
+        (cfg_t.u_shape, cfg_t.v_shape, cfg_t.w_shape),
+    )
+
+    stream = pp.tiled_sort(state.pos, state.vel, cfg_t.dx, cfg_t.grid_shape)
+    out = pp.scatter_p2g_table(
+        stream.starts, stream.payload, cfg_t.grid_shape, cfg_t.dx,
+        cfg_t.bucket_capacity)
+    sums, fields = pp.split_scatter_output(
+        out, cfg_t.grid_shape, cfg_t.bucket_capacity)
+    phi_p = pp.liquid_sdf_from_fields(
+        fields, cfg_t.grid_shape, cfg_t.dx, cfg_t.particle_radius,
+        state.solid.center_phi)
+    p2g_p = pp.p2g_combine(
+        sums, cfg_t.grid_shape, (cfg_t.u_shape, cfg_t.v_shape, cfg_t.w_shape))
+
+    np.testing.assert_allclose(
+        np.asarray(phi_p), np.asarray(phi_t), rtol=1e-5, atol=1e-6)
+    for (vp, wp), (vt, wt) in zip(p2g_p, sums_t):
+        np.testing.assert_allclose(
+            np.asarray(wp), np.asarray(wt), rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(vp), np.asarray(vt), rtol=1e-4, atol=1e-5)
+
+
+def test_gather_rows_matches_take():
+    shape = (16, 16, 16)
+    rng = np.random.default_rng(2)
+    n = 3000
+    pos = jnp.asarray(rng.random((n, 3), np.float32) * 0.9 + 0.05)
+    vel = jnp.zeros((n, 3), jnp.float32)
+    stream = pp.tiled_sort(pos, vel, 1.0 / 16, shape)
+    cols_std = jnp.asarray(
+        rng.standard_normal((*shape, 54)).astype(np.float32))
+    cols = pp.to_tile_major(cols_std)
+    rows = pp.gather_rows(
+        stream.spans, stream.payload[6:7], cols, n)
+    want = np.asarray(cols_std).reshape(-1, 54)[
+        np.asarray(stream.key)]  # standard flat == decode order
+    # cols_std flat index is i-major; stream.key is tile-major -> map
+    i, j, k = pp.decode_key(stream.key, shape)
+    std_key = (np.asarray(i) * shape[1] + np.asarray(j)) * shape[2] \
+        + np.asarray(k)
+    want = np.asarray(cols_std).reshape(-1, 54)[std_key]
+    np.testing.assert_allclose(np.asarray(rows), want, rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("frames", [3])
+def test_full_advance_matches_table_engine(frames):
+    sim_t = make_sim("table")
+    sim_p = make_sim("pallas")
+    np.testing.assert_array_equal(
+        np.asarray(sim_t.state.pos), np.asarray(sim_p.state.pos))
+
+    for _ in range(frames):
+        dt_ = 0.01
+        diag_t = sim_t.advance(dt_)
+        diag_p = sim_p.advance(dt_)
+        assert int(diag_t.substeps) == int(diag_p.substeps)
+
+    # same particles in a possibly different order: compare sorted sets
+    pt = np.sort(
+        np.asarray(sim_t.state.pos).round(5).view(np.float32), axis=0)
+    ppos = np.sort(
+        np.asarray(sim_p.state.pos).round(5).view(np.float32), axis=0)
+    np.testing.assert_allclose(pt, ppos, rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(
+        np.asarray(sim_t.state.u), np.asarray(sim_p.state.u),
+        rtol=2e-3, atol=2e-4)
+    com_t = np.asarray(sim_t.state.pos).mean(0)
+    com_p = np.asarray(sim_p.state.pos).mean(0)
+    np.testing.assert_allclose(com_t, com_p, rtol=1e-4, atol=1e-5)
