@@ -393,11 +393,14 @@ def _substep(ss_pos, ss_vel, ss_alive, u, v, w, static, dt, cfg: SimConfig,
             xs = tuple(_exchange(xi, spec) for xi in x)
             return vsolver.apply_viscosity_matrix(vsys, xs, cfg)
 
-        # Jacobi preconditioning in the slab path (the multigrid hierarchy
-        # is a single-device construct; per-shard block-Jacobi-MG is future
-        # work and the CG remains exact either way)
+        if cfg.viscosity_preconditioner == "multigrid":
+            from .slab_mg import slab_viscosity_mg_preconditioner
+
+            precon = slab_viscosity_mg_preconditioner(vsys, spec, cfg, AXIS)
+        else:
+            precon = jacobi_preconditioner(vsys.diag)
         result = pcg(
-            apply_A, vsys.rhs, jacobi_preconditioner(vsys.diag), tol,
+            apply_A, vsys.rhs, precon, tol,
             cfg.viscosity_solve_max_iterations, x0=warm,
             axis_name=AXIS,
             reduce_mask=(owned_u, owned_v, owned_w),
@@ -438,11 +441,17 @@ def _substep(ss_pos, ss_vel, ss_alive, u, v, w, static, dt, cfg: SimConfig,
         jnp.float32(cfg.pressure_solve_tolerance),
         jnp.float32(cfg.pressure_solve_rtol) * bnorm,
     )
+    if cfg.pressure_preconditioner == "multigrid":
+        from .slab_mg import slab_pressure_mg_preconditioner
+
+        p_precon = slab_pressure_mg_preconditioner(psys, spec, cfg, AXIS)
+    else:
+        p_precon = jacobi_preconditioner(psys.diag)
     pres = pcg(
         lambda x: psolver.apply_pressure_matrix(
             psys, _exchange(x, spec)),
         psys.b,
-        jacobi_preconditioner(psys.diag),
+        p_precon,
         ptol,
         cfg.pressure_solve_max_iterations,
         axis_name=AXIS,

@@ -77,6 +77,36 @@ def test_shard_step_matches_single_device(scene):
     )
 
 
+def test_shard_step_multigrid_matches_single_device(scene):
+    """With the distributed slab V-cycle (parallel/slab_mg.py) both sides
+    precondition with the SAME exact-Galerkin hierarchy (the slab build is
+    provably the global P^T A P), so multigrid iteration counts must match
+    the single-device multigrid counts, not just stay within 1.5x."""
+    cfg, state = scene
+    cfg = dataclasses.replace(
+        cfg,
+        pressure_preconditioner="multigrid",
+        viscosity_preconditioner="multigrid",
+        mg_backend="xla",
+    )
+    mesh = Mesh(np.array(jax.devices()[:NDEV]), (sh.AXIS,))
+    spec = sh.make_spec(cfg, NDEV, n_particles=state.pos.shape[0])
+    ss = sh.shard_simstate(state, cfg, spec)
+
+    sstate, sdiag = step_mod.advance(state, 0.01, cfg)
+    ss, mdiag = sh.advance_sharded(ss, 0.01, cfg, spec, mesh)
+    assert int(sdiag.substeps) == int(mdiag.substeps)
+    s_p, m_p = int(sdiag.pressure_iterations), int(mdiag.pressure_iterations)
+    s_v, m_v = int(sdiag.viscosity_iterations), int(mdiag.viscosity_iterations)
+    assert abs(s_p - m_p) <= max(2, s_p // 4), (s_p, m_p)
+    assert abs(s_v - m_v) <= max(2, s_v // 4), (s_v, m_v)
+    # multigrid must actually help vs the jacobi fixture counts
+    pos_m, _ = sh.gather_particles(ss)
+    a = np.sort(np.asarray(sstate.pos), axis=0)
+    b = np.sort(pos_m, axis=0)
+    np.testing.assert_allclose(a, b, atol=5e-4)
+
+
 def test_shard_step_inviscid(scene):
     """Inviscid path (viscosity cond off) also matches."""
     cfg, state = scene
