@@ -32,7 +32,7 @@ _jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 TARGET_STEPS_PER_SEC = 50.0  # BASELINE.json north star (1x TPU v5p)
 
 
-def main():
+def run(engine: str) -> None:
     res = int(os.environ.get("BENCH_RESOLUTION", "128"))
     frames = int(os.environ.get("BENCH_FRAMES", "5"))
     dt = 0.01
@@ -44,7 +44,8 @@ def main():
     # the pool seeds exactly 8 particles/cell and runs a few frames; capacity
     # 16 keeps overflow at 0 while fitting the 4M-particle tables in HBM
     cap = int(os.environ.get("BENCH_BUCKET_CAPACITY", "16"))
-    sim.initialize(res, res, res, 1.0 / res, bucket_capacity=cap)
+    sim.initialize(res, res, res, 1.0 / res, bucket_capacity=cap,
+                   particle_engine=engine)
 
     # pool filling the bottom ~27% of the open interior -> ~4.2M particles
     lo = 2.5 / res
@@ -86,6 +87,21 @@ def main():
         ),
         flush=True,
     )
+
+
+def main():
+    # The tile-block Pallas engine is the measured-fastest at this scale;
+    # fall back to the XLA table engine if it ever fails to compile here so
+    # the driver always gets its JSON line.
+    engine = os.environ.get("BENCH_ENGINE", "pallas")
+    try:
+        run(engine)
+    except Exception as e:  # noqa: BLE001 — report, then fall back
+        if engine == "table":
+            raise
+        print(f"# engine {engine!r} failed ({type(e).__name__}: {e}); "
+              "retrying with 'table'", file=sys.stderr, flush=True)
+        run("table")
 
 
 if __name__ == "__main__":

@@ -390,7 +390,14 @@ def gather_rows(spans, keys_f32, cols_tm, n):
     Returns (N, F) f32 rows.
     """
     n_chunks = _n_chunks(n)
-    n_tiles, _, n_cols = cols_tm.shape
+    n_tiles, _, n_cols_logical = cols_tm.shape
+    # Mosaic rejects manual DMAs whose lane extent isn't a multiple of 128
+    # ("Slice shape along dimension 2 must be aligned to tiling (128)"), so
+    # pad the column dim; the pad lanes are zero and sliced off at the end.
+    n_cols = -(-n_cols_logical // ALIGN) * ALIGN
+    if n_cols != n_cols_logical:
+        cols_tm = jnp.pad(
+            cols_tm, ((0, 0), (0, 0), (0, n_cols - n_cols_logical)))
 
     def kernel(spans_ref, keys_ref, cols_hbm, out_ref, colbuf, acc, sem):
         ci = pl.program_id(0)
@@ -441,7 +448,7 @@ def gather_rows(spans, keys_f32, cols_tm, n):
         grid_spec=grid_spec,
         interpret=_interpret(),
     )(spans, keys_f32[:, : n_chunks * C], cols_tm)
-    return rows[:n]
+    return rows[:n, :n_cols_logical]
 
 
 # ---------------------------------------------------------------------------

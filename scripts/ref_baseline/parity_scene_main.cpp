@@ -3,7 +3,11 @@
 // for statistical comparison with the TPU engine's output.
 //
 // Usage: ref_parity_scene <frames> <res> <outdir> <viscosity>
-//            <boundary.ply> <invert:0|1> <liquid.ply>
+//            <boundary.ply> <invert:0|1> <liquid.ply> [seed]
+//
+// The optional seed perturbs the reference's own particle seeding
+// (fluidsimulation.cpp:80-82 uses rand() jitter) so an ensemble of
+// reference runs bounds the solver's chaotic divergence envelope.
 #include <cstdio>
 #include <cstdlib>
 #include <string>
@@ -22,6 +26,7 @@ int main(int argc, char **argv) {
     int invert = argc > 6 ? atoi(argv[6]) : 1;
     const char *liquidPath =
         argc > 7 ? argv[7] : "/root/reference/sample_meshes/stanford_bunny.ply";
+    if (argc > 8) srand((unsigned)atoi(argv[8]));
 
     FluidSimulation fluidsim;
     fluidsim.initialize(res, res, res, 1.0f / res);
