@@ -92,10 +92,6 @@ class SimConfig:
     # its while-loop runs until t reaches dt).
     max_substeps: int = 64
 
-    # Use the fused Pallas TPU kernel for the viscosity CG matvec (the
-    # dominant per-substep cost); the XLA formulation is the fallback.
-    use_pallas_viscosity: bool = False
-
     # CG preconditioners: "jacobi" (parallel baseline) or "multigrid"
     # (Galerkin aggregation V-cycle, solvers/multigrid.py). The reference's
     # MIC(0) is inherently sequential and has no TPU analogue; the V-cycle

@@ -18,8 +18,8 @@ einsum), i.e. ~10 instead of ~100.
 Layout: every level array is stored i-padded (BI zero rows in front, back
 rows to a multiple of BI) and j/k-padded to even — zero diag/links make
 padded rows inert. Blocks are (1, BI, J, K) with prev/center/next row
-blocks passed separately (the standard halo trick, as in
-ops/pallas_stencil.py); j/k shifts and 2x-pooling/prolongation happen on
+blocks passed separately (the standard halo trick); j/k shifts and
+2x-pooling/prolongation happen on
 VMEM values (pooling/prolongation along j/k ride the MXU as one-hot
 matmuls; along i they are leading-axis reshapes, which Mosaic supports).
 

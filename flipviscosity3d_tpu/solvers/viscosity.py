@@ -373,10 +373,6 @@ def _apply_coupling(factors, xu, xv, xw, cfg: SimConfig):
 def apply_viscosity_matrix(sys: ViscositySystem, x, cfg: SimConfig):
     """Coupled operator apply; coefficients are premasked at build time so
     the output is supported on rows with no masking pass."""
-    if cfg.use_pallas_viscosity:
-        from ..ops.pallas_stencil import viscosity_matvec_pallas
-
-        return viscosity_matvec_pallas(x, sys.factors, sys.diag)
     xu, xv, xw = x
     cu, cv, cw = _apply_coupling(sys.factors, xu, xv, xw, cfg)
     return (
