@@ -7,12 +7,15 @@ stages, and both linear solves all run inside a single XLA computation (the
 host dispatches exactly once per frame — essential here, where per-dispatch
 latency is ~34ms).
 
-Particle work runs on one of two engines (cfg.particle_engine):
+Particle work runs on one of three engines (cfg.particle_engine):
 
 - "table" (default): fixed-capacity bucket tables with dense per-slot
   transfers (ops/buckets.py, ops/particle_grid.py) — two table passes (A by
-  position, B by RK2 midpoint) plus a gather-based pushback stage; fastest
-  at multi-million particles (see docs/DESIGN.md measurements).
+  position, B by RK2 midpoint) plus a gather-based pushback stage.
+- "pallas": tile-block one-hot MXU kernels over tile-sorted chunks
+  (ops/pallas_particles.py) — same two-pass structure, fastest at
+  multi-million N on real TPU hardware (TPU-only; grid dims must divide
+  8x8x8 tiles). The bench runs this engine.
 - "stream": ONE lax.sort per substep; liquid SDF + P2G as segmented scans
   over the sorted stream; G2P / RK2 stage 2 / solid pushback as row-gathers
   of stacked per-cell grid columns keyed by per-particle cell indices

@@ -398,11 +398,15 @@ def gather_rows(spans, keys_f32, cols_tm, n):
     if n_cols != n_cols_logical:
         cols_tm = jnp.pad(
             cols_tm, ((0, 0), (0, 0), (0, n_cols - n_cols_logical)))
+    # 2-D SMEM prefetch arrays are lane-padded to 128 columns ((n_chunks, 2)
+    # i32 -> n_chunks * 512 B, past the 1 MB SMEM budget at 4M particles);
+    # flatten to 1-D, which stays byte-packed.
+    spans_flat = spans.reshape(-1)
 
     def kernel(spans_ref, keys_ref, cols_hbm, out_ref, colbuf, acc, sem):
         ci = pl.program_id(0)
-        t0 = spans_ref[ci, 0]
-        t1 = spans_ref[ci, 1]
+        t0 = spans_ref[2 * ci]
+        t1 = spans_ref[2 * ci + 1]
         key = keys_ref[:]  # (1, C)
 
         acc[:] = jnp.zeros_like(acc)
@@ -447,7 +451,7 @@ def gather_rows(spans, keys_f32, cols_tm, n):
         out_shape=jax.ShapeDtypeStruct((n_chunks * C, n_cols), jnp.float32),
         grid_spec=grid_spec,
         interpret=_interpret(),
-    )(spans, keys_f32[:, : n_chunks * C], cols_tm)
+    )(spans_flat, keys_f32[:, : n_chunks * C], cols_tm)
     return rows[:n, :n_cols_logical]
 
 

@@ -23,14 +23,20 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 NDEV = int(os.environ.get("NDEV", "8"))
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# sitecustomize imports jax at interpreter startup, so JAX_PLATFORMS in the
+# env is too late — update jax.config directly (before any backend use),
+# exactly like tests/conftest.py.
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + f" --xla_force_host_platform_device_count={NDEV}").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 
 import jax
+
+jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 import numpy as np
 
