@@ -90,10 +90,12 @@ def run(engine: str) -> None:
 
 
 def main():
-    # The tile-block Pallas engine is the measured-fastest at this scale;
-    # fall back to the XLA table engine if it ever fails to compile here so
-    # the driver always gets its JSON line.
-    engine = os.environ.get("BENCH_ENGINE", "pallas")
+    # Default engine: the XLA table engine — measured 1.15 steps/s. The
+    # tile-block Pallas engine compiles and is exact on hardware but its
+    # per-grid-step cost on this axon chip is pathological (~15-30 ms/step,
+    # see docs/DESIGN.md round-3 notes); opt in with BENCH_ENGINE=pallas
+    # once the kernel restructure lands.
+    engine = os.environ.get("BENCH_ENGINE", "table")
     try:
         run(engine)
     except Exception as e:  # noqa: BLE001 — report, then fall back

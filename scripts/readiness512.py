@@ -28,8 +28,16 @@ NDEV = int(os.environ.get("NDEV", "8"))
 # exactly like tests/conftest.py.
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
+    flags = (
         flags + f" --xla_force_host_platform_device_count={NDEV}").strip()
+# 8 virtual devices multiplex ONE physical core here; at 512^3 a shard's
+# compute between collectives exceeds XLA-CPU's 40 s rendezvous kill timer,
+# which aborts the process ("Termination timeout ... exceeded"). Raise all
+# three collective timeouts far past single-core grind speed.
+flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=3600"
+          " --xla_cpu_collective_call_terminate_timeout_seconds=7200"
+          " --xla_cpu_collective_timeout_seconds=7200")
+os.environ["XLA_FLAGS"] = flags
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 
