@@ -394,7 +394,9 @@ def _step_pallas(state: SimState, dt, cfg: SimConfig):
     spx, spy, spz = stream.sorted[0], stream.sorted[1], stream.sorted[2]
     svx, svy, svz = stream.sorted[3], stream.sorted[4], stream.sorted[5]
 
-    out = pp.scatter_p2g_table(stream.starts, stream.payload, shape, dx, cap)
+    out = pp.scatter_p2g_table(
+        stream.plan.tabs, stream.plan.lockeys, stream.payload,
+        stream.tile_mask, shape, dx, cap)
     sums, tbl_fields = pp.split_scatter_output(out, shape, cap)
     liquid_phi = pp.liquid_sdf_from_fields(
         tbl_fields, shape, dx, cfg.particle_radius, solid.center_phi)
@@ -408,8 +410,8 @@ def _step_pallas(state: SimState, dt, cfg: SimConfig):
     # ---------------- G2P + advection ----------------
     cols_a = pp.to_tile_major(pp.build_mac_columns(
         [u, saved_u], [v, saved_v], [w, saved_w], shape))
-    keys_f32 = stream.payload[6:7]
-    rows_a = pp.gather_rows(stream.spans, keys_f32, cols_a, stream.n)
+    rows_a = pp.gather_rows(
+        stream.plan.tabs, stream.plan.lockeys, cols_a, stream.n)
     (nu, ou), (nv, ov), (nw, ow) = pp.combine_mac_samples(
         rows_a, spx, spy, spz, stream.key, dx, shape, 2)
     r = jnp.float32(cfg.ratio_pic_flip)
@@ -424,8 +426,8 @@ def _step_pallas(state: SimState, dt, cfg: SimConfig):
 
     # ---------------- PASS B: re-key by midpoint ----------------
     key_m = pp.key_of_position(jnp.stack([mx, my, mz], axis=1), dx, shape)
-    key_b, sorted_b, spans_b, keys_b_f32 = pp.sort_by_key(
-        key_m, (mx, my, mz, spx, spy, spz, vel_x, vel_y, vel_z))
+    key_b, sorted_b, plan_b = pp.sort_by_key(
+        key_m, (mx, my, mz, spx, spy, spz, vel_x, vel_y, vel_z), shape)
     bmx, bmy, bmz, bpx, bpy, bpz, bvx, bvy, bvz = sorted_b
     ext = jnp.array([shape[0] * dx, shape[1] * dx, shape[2] * dx],
                     jnp.float32)
@@ -435,7 +437,7 @@ def _step_pallas(state: SimState, dt, cfg: SimConfig):
         & (bmz >= 0) & (bmz < ext[2])
     )
     cols_b = pp.to_tile_major(pp.build_mac_columns([u], [v], [w], shape))
-    rows_b = pp.gather_rows(spans_b, keys_b_f32, cols_b, stream.n)
+    rows_b = pp.gather_rows(plan_b.tabs, plan_b.lockeys, cols_b, stream.n)
     (v2x,), (v2y,), (v2z,) = pp.combine_mac_samples(
         rows_b, bmx, bmy, bmz, key_b, dx, shape, 1, valid=inside_m)
     fnpx = bpx + dt * v2x

@@ -16,10 +16,20 @@ Design:
     gather :  per-particle   rows[p, col] = sum_cell onehot[cell,p]*cols[cell,col]
   The one-hot factor is exactly 0/1, so under precision=HIGHEST every
   bf16-pass product is exact and the matmuls reproduce f32 arithmetic.
-- Per-tile particle ranges ride in as scalar-prefetch prefix tables; chunk
-  DMAs walk the (8, N) payload with 128-aligned starts (a Mosaic layout
-  rule: partial slices must be 128-aligned on the lane dim), the one-hot
-  mask absorbing overlap rows.
+- The kernels iterate a FLATTENED VISIT LIST: one grid step per
+  (chunk, tile) incidence of the sorted stream, in chunk-major order (both
+  coordinates are nondecreasing on a sorted stream, so revisited blocks stay
+  resident). ALL data movement happens through BlockSpec index maps driven
+  by scalar-prefetch visit tables; accumulation across a block's visits uses
+  first-visit zeroing (pl.when) + `out_ref +=`.
+
+  This shape is dictated by hardware measurements (scripts/
+  gather_perf_probe*.py): walking the span with an in-kernel fori_loop +
+  manual make_async_copy DMAs — the v1 design — costs ~15-30 ms PER
+  ITERATION on this chip (pathological Mosaic lowering), while the
+  BlockSpec-driven revisit pattern runs at pipeline speed (~us per step).
+  It also keeps every scalar-prefetch table at O(visits) ints, inside the
+  1 MB SMEM budget that the v1 per-chunk span tables blew at 4M particles.
 
 Unlike the XLA bucket-table engine (ops/buckets.py), the P2G sums here
 include EVERY particle (no capacity drop); only the liquid-SDF bucket table
@@ -40,8 +50,9 @@ from jax.experimental.pallas import tpu as pltpu
 TILE = (8, 8, 8)
 W = TILE[0] * TILE[1] * TILE[2]   # cells per tile
 C = 512                            # particles per chunk
-ALIGN = 128                        # lane alignment for dynamic DMA offsets
+ALIGN = 128                        # lane alignment for tile-major columns
 N_P2G = 108                        # 54 weight cols + 54 weight*velocity cols
+NPAY = 10                          # payload rows: px,py,pz,vx,vy,vz,rank,gi,gj,gk
 FAR = 1.0e8                        # empty-slot position sentinel
 
 
@@ -103,31 +114,94 @@ def chunk_spans(key_s, n_chunks):
     return jnp.stack([first, last], axis=1).astype(jnp.int32)
 
 
-def _pad_lanes(rows, n_fields):
-    """Pad (n_fields, N) payload to (n_fields, N + 2C); key row gets -1 so
-    padding lanes never match a one-hot and never join a tile span."""
-    parts = []
-    for f in range(n_fields):
-        fill = -1.0 if f == n_fields - 2 else 0.0  # key row by convention
-        parts.append(jnp.full((1, 2 * C), fill, jnp.float32))
-    return jnp.concatenate([rows, jnp.concatenate(parts, axis=0)], axis=1)
+def _n_chunks(n: int) -> int:
+    return (n + C - 1) // C
+
+
+def n_visits(n: int, grid_shape) -> int:
+    """Static bound on the (chunk, tile) incidence count: on a sorted stream
+    the per-chunk tile spans telescope, so
+    sum(span lengths) <= n_chunks + n_tiles - 1."""
+    n_tiles = (grid_shape[0] * grid_shape[1] * grid_shape[2]) // W
+    return _n_chunks(n) + n_tiles
+
+
+class VisitPlan(NamedTuple):
+    """Flattened (chunk, tile) incidence list of a tile-sorted stream.
+
+    tabs: (4*NV,) int32 scalar-prefetch table [tv | cv | first_tile |
+        first_chunk]: visit v reads particle chunk cv[v] against tile tv[v];
+        first_* flag the first visit of each output block in visit order.
+        Padding visits (beyond the real incidence count) repeat the last
+        (tile, chunk) with both flags 0 and masked keys.
+    lockeys: (1, NV*C) f32 per-visit TILE-LOCAL particle keys
+        (key - tile*512); -1 for pad particles/visits so they match no
+        one-hot row. Pre-localized on the XLA side because SMEM-scalar ->
+        vector arithmetic inside the kernel is a measured Mosaic hazard.
+        Stored flat with a leading 1 because Mosaic only accepts (1, C)
+        blocks when the sublane dim equals the whole array's.
+    """
+
+    tabs: jnp.ndarray
+    lockeys: jnp.ndarray
+
+
+def plan_visits(key_s, n: int, grid_shape) -> VisitPlan:
+    """Build the visit tables from sorted tile-major keys (all dense XLA:
+    a cumsum, a searchsorted over ~NV elements, one (NV, C) row gather)."""
+    n_chunks = _n_chunks(n)
+    nv = n_visits(n, grid_shape)
+    spans = chunk_spans(key_s, n_chunks)
+    t0, t1 = spans[:, 0], spans[:, 1]
+    ln = t1 - t0 + 1
+    off = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(ln, dtype=jnp.int32)])
+    total = off[n_chunks]
+
+    vidx = jnp.arange(nv, dtype=jnp.int32)
+    cv = jnp.clip(
+        jnp.searchsorted(off, vidx, side="right").astype(jnp.int32) - 1,
+        0, n_chunks - 1)
+    tv = t0[cv] + (vidx - off[cv])
+    valid = vidx < total
+    tv = jnp.where(valid, tv, t1[n_chunks - 1])
+
+    first_t = valid & jnp.concatenate(
+        [jnp.ones((1,), bool), tv[1:] != tv[:-1]])
+    first_c = valid & jnp.concatenate(
+        [jnp.ones((1,), bool), cv[1:] != cv[:-1]])
+
+    pad = n_chunks * C - key_s.shape[0]
+    kf = key_s.astype(jnp.float32)
+    if pad:
+        kf = jnp.concatenate([kf, jnp.full((pad,), -1.0, jnp.float32)])
+    kc = kf.reshape(n_chunks, C)
+    lk = jnp.take(kc, cv, axis=0) - (tv[:, None] * W).astype(jnp.float32)
+    lk = jnp.where(valid[:, None], lk, -1.0)
+
+    tabs = jnp.concatenate(
+        [tv, cv, first_t.astype(jnp.int32), first_c.astype(jnp.int32)])
+    return VisitPlan(tabs, lk.reshape(1, -1))
 
 
 class TiledStream(NamedTuple):
     """Pass-A particle stream, sorted by tile-major home-cell key.
 
-    payload: (8, N + 2C) f32 rows [px,py,pz,vx,vy,vz,key,rank].
+    payload: (NPAY, n_chunks*C) f32 rows [px,py,pz,vx,vy,vz,rank,gi,gj,gk]
+        (absolute cell coords ride as rows so the kernels never derive
+        vector values from SMEM scalars).
     key: (N,) int32 sorted keys; rank: (N,) int32 rank within cell.
-    starts: (n_tiles + 1,) int32 first sorted index per tile.
-    spans: (n_chunks, 2) int32 tile range per C-particle chunk.
+    tile_mask: (n_tiles,) bool — tiles with at least one particle (scatter
+        output is zeroed outside; their blocks are never visited).
+    plan: VisitPlan for this ordering.
     sorted: tuple of (N,) sorted field arrays (px,py,pz,vx,vy,vz).
     """
 
     payload: jnp.ndarray
     key: jnp.ndarray
     rank: jnp.ndarray
-    starts: jnp.ndarray
-    spans: jnp.ndarray
+    tile_mask: jnp.ndarray
+    plan: VisitPlan
     sorted: tuple
 
     @property
@@ -136,7 +210,7 @@ class TiledStream(NamedTuple):
 
 
 def tiled_sort(pos, vel, dx, grid_shape) -> TiledStream:
-    """ONE lax.sort per substep + rank scan + tile prefix/spans."""
+    """ONE lax.sort per substep + rank scan + visit plan."""
     key = key_of_position(pos, dx, grid_shape)
     n = pos.shape[0]
     ops = lax.sort(
@@ -152,20 +226,21 @@ def tiled_sort(pos, vel, dx, grid_shape) -> TiledStream:
         jnp.maximum, jnp.where(new_run, idx, 0))
     rank = idx - run_start
 
-    payload = jnp.stack(
-        [ops[1], ops[2], ops[3], ops[4], ops[5], ops[6],
-         key_s.astype(jnp.float32), rank.astype(jnp.float32)], axis=0)
-    payload = _pad_lanes(payload, 8)
+    gi, gj, gk = decode_key(key_s, grid_shape)
+    rows = [ops[1], ops[2], ops[3], ops[4], ops[5], ops[6],
+            rank.astype(jnp.float32), gi.astype(jnp.float32),
+            gj.astype(jnp.float32), gk.astype(jnp.float32)]
+    pad = _n_chunks(n) * C - n
+    payload = jnp.stack(rows, axis=0)
+    if pad:
+        payload = jnp.pad(payload, ((0, 0), (0, pad)))
 
     n_tiles = (grid_shape[0] * grid_shape[1] * grid_shape[2]) // W
     bounds = jnp.arange(n_tiles + 1, dtype=jnp.int32) * W
     starts = jnp.searchsorted(key_s, bounds).astype(jnp.int32)
-    spans = chunk_spans(key_s, _n_chunks(n))
-    return TiledStream(payload, key_s, rank, starts, spans, tuple(ops[1:]))
-
-
-def _n_chunks(n: int) -> int:
-    return (n + C - 1) // C
+    tile_mask = starts[1:] > starts[:-1]
+    plan = plan_visits(key_s, n, grid_shape)
+    return TiledStream(payload, key_s, rank, tile_mask, plan, tuple(ops[1:]))
 
 
 # ---------------------------------------------------------------------------
@@ -211,21 +286,17 @@ def p2g_abs_offset(comp: int, oidx: int):
 # scatter kernel: P2G sums + SDF bucket-table expansion
 # ---------------------------------------------------------------------------
 
-def _scatter_chunk_values(data, base_key, origin, dx, cap):
-    """data: (8, C) payload slice -> (m1 (W, C), vals (N_P2G + cap*4, C))."""
+def _scatter_chunk_values(data, local, dx, cap):
+    """data: (NPAY, C) payload block, local: (1, C) tile-local keys
+    -> (m1 (W, C) one-hot, vals (N_P2G + cap*4, C))."""
     px, py, pz = data[0:1], data[1:2], data[2:3]
     vx, vy, vz = data[3:4], data[4:5], data[5:6]
-    key, rank = data[6:7], data[7:8]
-    local = key - base_key  # f32, exact below 2^24
+    rank = data[6:7]
+    gi, gj, gk = data[7:8], data[8:9], data[9:10]
 
     sub_w = jax.lax.broadcasted_iota(
         jnp.int32, (W, C), 0).astype(jnp.float32)
     m1 = jnp.where(local == sub_w, 1.0, 0.0)
-
-    gi = jnp.floor(local / (TILE[1] * TILE[2])) + origin[0]
-    rem = local - (gi - origin[0]) * (TILE[1] * TILE[2])
-    gj = jnp.floor(rem / TILE[2]) + origin[1]
-    gk = rem - (gj - origin[1]) * TILE[2] + origin[2]
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (54, C), 0)
     comp = lane // 18
@@ -270,65 +341,50 @@ def _scatter_chunk_values(data, base_key, origin, dx, cap):
 
 @functools.partial(
     jax.jit, static_argnames=("grid_shape", "dx", "cap"))
-def scatter_p2g_table(starts, payload, grid_shape, dx, cap):
-    """-> (n_tiles, W, N_P2G + cap*4) per-cell sums + expanded table."""
+def scatter_p2g_table(tabs, lockeys, payload, tile_mask, grid_shape, dx, cap):
+    """-> (n_tiles, W, N_P2G + cap*4) per-cell sums + expanded table.
+
+    One grid step per (chunk, tile) visit: the chunk payload and the tile
+    accumulator are both selected by prefetched index maps; the one-hot
+    matmul adds the chunk's contribution. Tiles without particles are never
+    visited; `tile_mask` zeroes their (uninitialized) blocks afterwards —
+    the where() fuses into the downstream tile-major transpose."""
+    nv = lockeys.shape[1] // C
     nt = tile_counts(grid_shape)
     n_tiles = nt[0] * nt[1] * nt[2]
     n_cols = N_P2G + cap * 4
     dxf = float(dx)
 
-    def kernel(starts_ref, payload_hbm, out_ref, acc, chunk, sem):
-        b = pl.program_id(0)
-        s0 = starts_ref[b]
-        s1 = starts_ref[b + 1]
-        base_key = (b * W).astype(jnp.float32)
-        ti = b // (nt[1] * nt[2])
-        tj = (b // nt[2]) % nt[1]
-        tk = b % nt[2]
-        origin = ((ti * TILE[0]).astype(jnp.float32),
-                  (tj * TILE[1]).astype(jnp.float32),
-                  (tk * TILE[2]).astype(jnp.float32))
-        a0 = (s0 // ALIGN) * ALIGN
-        n_chunks = lax.div(s1 - a0 + C - 1, C)
+    def kernel(tabs_ref, lk_ref, pay_ref, out_ref):
+        v = pl.program_id(0)
 
-        acc[:] = jnp.zeros_like(acc)
+        @pl.when(tabs_ref[2 * nv + v] == 1)
+        def _zero():
+            out_ref[:] = jnp.zeros_like(out_ref)
 
-        def body(ci, _):
-            dma = pltpu.make_async_copy(
-                payload_hbm.at[:, pl.ds(a0 + ci * C, C)], chunk, sem)
-            dma.start()
-            dma.wait()
-            m1, vals = _scatter_chunk_values(
-                chunk[:], base_key, origin, dxf, cap)
-            acc[:] += jax.lax.dot_general(
-                m1, vals, (((1,), (1,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )
-            return 0
-
-        lax.fori_loop(0, n_chunks, body, 0)
-        out_ref[0] = acc[:]
+        m1, vals = _scatter_chunk_values(pay_ref[:], lk_ref[:], dxf, cap)
+        out_ref[0] += jax.lax.dot_general(
+            m1, vals, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec(
-            (1, W, n_cols), lambda b, starts: (b, 0, 0),
-            memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((W, n_cols), jnp.float32),
-            pltpu.VMEM((8, C), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+        grid=(nv,),
+        in_specs=[
+            pl.BlockSpec((1, C), lambda v, t: (0, v)),
+            pl.BlockSpec((NPAY, C), lambda v, t: (0, t[nv + v])),
         ],
+        out_specs=pl.BlockSpec((1, W, n_cols), lambda v, t: (t[v], 0, 0)),
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n_tiles, W, n_cols), jnp.float32),
         grid_spec=grid_spec,
         interpret=_interpret(),
-    )(starts, payload)
+    )(tabs, lockeys, payload)
+    return jnp.where(tile_mask[:, None, None], out, 0.0)
 
 
 def split_scatter_output(out, grid_shape, cap):
@@ -382,77 +438,55 @@ def liquid_sdf_from_fields(fields, grid_shape, dx, radius, solid_center_phi):
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("n",))
-def gather_rows(spans, keys_f32, cols_tm, n):
+def gather_rows(tabs, lockeys, cols_tm, n):
     """Per-particle rows cols[key] for tile-sorted keys.
 
-    spans: (n_chunks, 2) tile range per chunk; keys_f32: (1, N + 2C) f32
-    sorted keys (pad -1); cols_tm: (n_tiles, W, F) tile-major columns.
-    Returns (N, F) f32 rows.
-    """
+    tabs/lockeys: the stream's VisitPlan; cols_tm: (n_tiles, W, F)
+    tile-major columns. Returns (N, F) f32 rows. One grid step per visit:
+    the tile's column block rides in via the tv index map, the chunk's
+    output rows accumulate under the cv map (first-visit zeroed)."""
+    nv = lockeys.shape[1] // C
     n_chunks = _n_chunks(n)
     n_tiles, _, n_cols_logical = cols_tm.shape
-    # Mosaic rejects manual DMAs whose lane extent isn't a multiple of 128
-    # ("Slice shape along dimension 2 must be aligned to tiling (128)"), so
-    # pad the column dim; the pad lanes are zero and sliced off at the end.
+    # keep the lane dim 128-aligned: avoids Mosaic padding the (W, F) tile
+    # images inside the pipeline (pad lanes are zero, sliced off at the end)
     n_cols = -(-n_cols_logical // ALIGN) * ALIGN
     if n_cols != n_cols_logical:
         cols_tm = jnp.pad(
             cols_tm, ((0, 0), (0, 0), (0, n_cols - n_cols_logical)))
-    # 2-D SMEM prefetch arrays are lane-padded to 128 columns ((n_chunks, 2)
-    # i32 -> n_chunks * 512 B, past the 1 MB SMEM budget at 4M particles);
-    # flatten to 1-D, which stays byte-packed.
-    spans_flat = spans.reshape(-1)
 
-    def kernel(spans_ref, keys_ref, cols_hbm, out_ref, colbuf, acc, sem):
-        ci = pl.program_id(0)
-        t0 = spans_ref[2 * ci]
-        t1 = spans_ref[2 * ci + 1]
-        key = keys_ref[:]  # (1, C)
+    def kernel(tabs_ref, lk_ref, cols_ref, out_ref):
+        v = pl.program_id(0)
 
-        acc[:] = jnp.zeros_like(acc)
+        @pl.when(tabs_ref[3 * nv + v] == 1)
+        def _zero():
+            out_ref[:] = jnp.zeros_like(out_ref)
 
-        def body(ti, _):
-            t = t0 + ti
-            dma = pltpu.make_async_copy(cols_hbm.at[t], colbuf, sem)
-            dma.start()
-            dma.wait()
-            local = key - (t * W).astype(jnp.float32)
-            sub_w = jax.lax.broadcasted_iota(
-                jnp.int32, (W, C), 0).astype(jnp.float32)
-            m1 = jnp.where(local == sub_w, 1.0, 0.0)
-            acc[:] += jax.lax.dot_general(
-                m1, colbuf[:], (((0,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32,
-            )
-            return 0
-
-        lax.fori_loop(0, t1 - t0 + 1, body, 0)
-        out_ref[:] = acc[:]
+        sub_w = jax.lax.broadcasted_iota(
+            jnp.int32, (W, C), 0).astype(jnp.float32)
+        m1 = jnp.where(lk_ref[:] == sub_w, 1.0, 0.0)
+        out_ref[0] += jax.lax.dot_general(
+            m1, cols_ref[0], (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_chunks,),
+        grid=(nv,),
         in_specs=[
-            pl.BlockSpec((1, C), lambda ci, spans: (0, ci),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, C), lambda v, t: (0, v)),
+            pl.BlockSpec((1, W, n_cols), lambda v, t: (t[v], 0, 0)),
         ],
-        out_specs=pl.BlockSpec((C, n_cols), lambda ci, spans: (ci, 0),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((W, n_cols), jnp.float32),
-            pltpu.VMEM((C, n_cols), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-        ],
+        out_specs=pl.BlockSpec((1, C, n_cols), lambda v, t: (t[nv + v], 0, 0)),
     )
     rows = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n_chunks * C, n_cols), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_chunks, C, n_cols), jnp.float32),
         grid_spec=grid_spec,
         interpret=_interpret(),
-    )(spans_flat, keys_f32[:, : n_chunks * C], cols_tm)
-    return rows[:n, :n_cols_logical]
+    )(tabs, lockeys, cols_tm)
+    return rows.reshape(n_chunks * C, n_cols)[:n, :n_cols_logical]
 
 
 # ---------------------------------------------------------------------------
@@ -514,18 +548,11 @@ def combine_mac_samples(rows, px, py, pz, keys, dx, grid_shape, n_grids,
     return outs
 
 
-def sort_by_key(key, fields):
+def sort_by_key(key, fields, grid_shape):
     """Plain tile-key sort for pass B: returns (key_s, sorted fields,
-    spans, keys_f32 (1, padded))."""
+    VisitPlan for the new ordering)."""
     n = key.shape[0]
     ops = lax.sort((key,) + tuple(fields), num_keys=1, is_stable=True)
     key_s = ops[0]
-    spans = chunk_spans(key_s, _n_chunks(n))
-    keys_f32 = _pad_keys(key_s)
-    return key_s, tuple(ops[1:]), spans, keys_f32
-
-
-def _pad_keys(key_s):
-    kf = key_s.astype(jnp.float32)[None, :]
-    return jnp.concatenate(
-        [kf, jnp.full((1, 2 * C), -1.0, jnp.float32)], axis=1)
+    plan = plan_visits(key_s, n, grid_shape)
+    return key_s, tuple(ops[1:]), plan

@@ -55,7 +55,8 @@ def scatter_revisit(tabs, lockeys, vals, n_tiles, nv, smem_loc):
             loc = lk_ref[0] - (tabs_ref[v] * W).astype(jnp.float32)
         else:
             loc = lk_ref[0]
-        cell = jax.lax.broadcasted_iota(jnp.float32, (C, W), 1)
+        cell = jax.lax.broadcasted_iota(
+            jnp.int32, (C, W), 1).astype(jnp.float32)
         onehot = jnp.where(loc[:, None] == cell, 1.0, 0.0)
         out_ref[0] += jax.lax.dot_general(
             onehot, vals_ref[0], (((0,), (0,)), ((), ())),
@@ -65,7 +66,7 @@ def scatter_revisit(tabs, lockeys, vals, n_tiles, nv, smem_loc):
         num_scalar_prefetch=1,
         grid=(nv,),
         in_specs=[
-            pl.BlockSpec((1, C), lambda v, t: (v, 0)),
+            pl.BlockSpec((1, C), lambda v, t: (0, v)),
             pl.BlockSpec((1, C, F), lambda v, t: (t[nv + v], 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, W, F), lambda v, t: (t[v], 0, 0)),
@@ -85,7 +86,8 @@ def gather_revisit(tabs, lockeys, cols, n_chunks, nv):
             out_ref[:] = jnp.zeros_like(out_ref)
 
         loc = lk_ref[0]
-        cell = jax.lax.broadcasted_iota(jnp.float32, (C, W), 1)
+        cell = jax.lax.broadcasted_iota(
+            jnp.int32, (C, W), 1).astype(jnp.float32)
         onehot = jnp.where(loc[:, None] == cell, 1.0, 0.0)
         out_ref[0] += jax.lax.dot_general(
             onehot, cols_ref[0], (((1,), (0,)), ((), ())),
@@ -95,7 +97,7 @@ def gather_revisit(tabs, lockeys, cols, n_chunks, nv):
         num_scalar_prefetch=1,
         grid=(nv,),
         in_specs=[
-            pl.BlockSpec((1, C), lambda v, t: (v, 0)),
+            pl.BlockSpec((1, C), lambda v, t: (0, v)),
             pl.BlockSpec((1, W, F), lambda v, t: (t[v], 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, C, F), lambda v, t: (t[nv + v], 0, 0)),
@@ -161,7 +163,7 @@ def main():
     tabs_s = jnp.asarray(np.concatenate([tv, cv, first_t]))
     out = time_fn("scatterR", jax.jit(functools.partial(
         scatter_revisit, n_tiles=n_tiles, nv=nv, smem_loc=False)),
-        tabs_s, jnp.asarray(lk), jnp.asarray(vals))
+        tabs_s, jnp.asarray(lk.reshape(1, -1)), jnp.asarray(vals))
 
     # numpy oracle
     ref = np.zeros((n_tiles, W, F), np.float32)
@@ -178,14 +180,14 @@ def main():
          ]))
     outg = time_fn("gatherR", jax.jit(functools.partial(
         gather_revisit, n_chunks=n_chunks, nv=nv)),
-        tabs_g, jnp.asarray(lk[order]), jnp.asarray(cols))
+        tabs_g, jnp.asarray(lk[order].reshape(1, -1)), jnp.asarray(cols))
     refg = cols[tile_of, key % W].reshape(n_chunks, C, F)
     errg = np.max(np.abs(outg - refg))
     print(f"gatherR exact: max|err|={errg:.2e}", flush=True)
 
     time_fn("scatterS", jax.jit(functools.partial(
         scatter_revisit, n_tiles=n_tiles, nv=nv, smem_loc=True)),
-        tabs_s, jnp.asarray(rk), jnp.asarray(vals))
+        tabs_s, jnp.asarray(rk.reshape(1, -1)), jnp.asarray(vals))
 
 
 if __name__ == "__main__":

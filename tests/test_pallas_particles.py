@@ -84,8 +84,8 @@ def test_scatter_matches_table_engine():
 
     stream = pp.tiled_sort(state.pos, state.vel, cfg_t.dx, cfg_t.grid_shape)
     out = pp.scatter_p2g_table(
-        stream.starts, stream.payload, cfg_t.grid_shape, cfg_t.dx,
-        cfg_t.bucket_capacity)
+        stream.plan.tabs, stream.plan.lockeys, stream.payload,
+        stream.tile_mask, cfg_t.grid_shape, cfg_t.dx, cfg_t.bucket_capacity)
     sums, fields = pp.split_scatter_output(
         out, cfg_t.grid_shape, cfg_t.bucket_capacity)
     phi_p = pp.liquid_sdf_from_fields(
@@ -114,7 +114,7 @@ def test_gather_rows_matches_take():
         rng.standard_normal((*shape, 54)).astype(np.float32))
     cols = pp.to_tile_major(cols_std)
     rows = pp.gather_rows(
-        stream.spans, stream.payload[6:7], cols, n)
+        stream.plan.tabs, stream.plan.lockeys, cols, n)
     want = np.asarray(cols_std).reshape(-1, 54)[
         np.asarray(stream.key)]  # standard flat == decode order
     # cols_std flat index is i-major; stream.key is tile-major -> map
