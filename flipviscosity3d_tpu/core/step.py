@@ -396,7 +396,7 @@ def _step_pallas(state: SimState, dt, cfg: SimConfig):
 
     out = pp.scatter_p2g_table(
         stream.plan.tabs, stream.plan.lockeys, stream.payload,
-        stream.tile_mask, shape, dx, cap)
+        shape, dx, cap)
     sums, tbl_fields = pp.split_scatter_output(out, shape, cap)
     liquid_phi = pp.liquid_sdf_from_fields(
         tbl_fields, shape, dx, cfg.particle_radius, solid.center_phi)
@@ -410,10 +410,13 @@ def _step_pallas(state: SimState, dt, cfg: SimConfig):
     # ---------------- G2P + advection ----------------
     cols_a = pp.to_tile_major(pp.build_mac_columns(
         [u, saved_u], [v, saved_v], [w, saved_w], shape))
-    rows_a = pp.gather_rows(
-        stream.plan.tabs, stream.plan.lockeys, cols_a, stream.n)
-    (nu, ou), (nv, ov), (nw, ow) = pp.combine_mac_samples(
-        rows_a, spx, spy, spz, stream.key, dx, shape, 2)
+    pay_a = jnp.concatenate(
+        [stream.payload[0:3], stream.payload[7:10]], axis=0)
+    gm = pp.gather_mac(
+        stream.plan.tabs, stream.plan.lockeys, pay_a, cols_a,
+        stream.n, dx, 2)
+    (nu, ou), (nv, ov), (nw, ow) = (gm[0], gm[1]), (gm[2], gm[3]), \
+        (gm[4], gm[5])
     r = jnp.float32(cfg.ratio_pic_flip)
     vel_x = r * nu + (1.0 - r) * (svx + nu - ou)
     vel_y = r * nv + (1.0 - r) * (svy + nv - ov)
@@ -437,9 +440,12 @@ def _step_pallas(state: SimState, dt, cfg: SimConfig):
         & (bmz >= 0) & (bmz < ext[2])
     )
     cols_b = pp.to_tile_major(pp.build_mac_columns([u], [v], [w], shape))
-    rows_b = pp.gather_rows(plan_b.tabs, plan_b.lockeys, cols_b, stream.n)
-    (v2x,), (v2y,), (v2z,) = pp.combine_mac_samples(
-        rows_b, bmx, bmy, bmz, key_b, dx, shape, 1, valid=inside_m)
+    pay_b = pp.gather_payload(bmx, bmy, bmz, key_b, shape)
+    gmb = pp.gather_mac(
+        plan_b.tabs, plan_b.lockeys, pay_b, cols_b, stream.n, dx, 1)
+    v2x = jnp.where(inside_m, gmb[0], 0.0)
+    v2y = jnp.where(inside_m, gmb[1], 0.0)
+    v2z = jnp.where(inside_m, gmb[2], 0.0)
     fnpx = bpx + dt * v2x
     fnpy = bpy + dt * v2y
     fnpz = bpz + dt * v2z

@@ -55,6 +55,12 @@ N_P2G = 108                        # 54 weight cols + 54 weight*velocity cols
 NPAY = 10                          # payload rows: px,py,pz,vx,vy,vz,rank,gi,gj,gk
 FAR = 1.0e8                        # empty-slot position sentinel
 
+# Per-operand MXU precision for the one-hot transfer matmuls: the one-hot
+# factor is exactly 0/1 (bf16-exact, one pass suffices); only the values
+# operand needs the 3-term bf16 split. (DEFAULT, HIGHEST) runs 3 MXU passes
+# instead of HIGHEST/HIGHEST's 6-9 while reproducing f32 products exactly.
+ONEHOT_PREC = (jax.lax.Precision.DEFAULT, jax.lax.Precision.HIGHEST)
+
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
@@ -148,8 +154,15 @@ class VisitPlan(NamedTuple):
 
 def plan_visits(key_s, n: int, grid_shape) -> VisitPlan:
     """Build the visit tables from sorted tile-major keys (all dense XLA:
-    a cumsum, a searchsorted over ~NV elements, one (NV, C) row gather)."""
+    a cumsum, a searchsorted over ~NV elements, one (NV, C) row gather).
+
+    Tiles not covered by any chunk span get one trailing visit each (with
+    first_tile=1 and all-masked keys) so the scatter kernel zero-initializes
+    EVERY output block — no tile-occupancy mask pass afterwards. Trailing
+    pad visits repeat the last written block, never an earlier one, so a
+    flushed accumulator is never revisited."""
     n_chunks = _n_chunks(n)
+    n_tiles = (grid_shape[0] * grid_shape[1] * grid_shape[2]) // W
     nv = n_visits(n, grid_shape)
     spans = chunk_spans(key_s, n_chunks)
     t0, t1 = spans[:, 0], spans[:, 1]
@@ -171,6 +184,22 @@ def plan_visits(key_s, n: int, grid_shape) -> VisitPlan:
     first_c = valid & jnp.concatenate(
         [jnp.ones((1,), bool), cv[1:] != cv[:-1]])
 
+    # ---- empty-tile visits: one per tile outside every chunk span ----
+    delta = jnp.zeros((n_tiles + 1,), jnp.int32)
+    delta = delta.at[t0].add(1).at[t1 + 1].add(-1)
+    covered = jnp.cumsum(delta[:-1]) > 0
+    uncov = ~covered
+    n_uncov = jnp.sum(uncov.astype(jnp.int32))
+    tiles = jnp.arange(n_tiles, dtype=jnp.int32)
+    pos = jnp.where(
+        uncov, total + jnp.cumsum(uncov.astype(jnp.int32)) - 1, nv)
+    tv = tv.at[pos].set(tiles, mode="drop")
+    first_t = first_t.at[pos].set(True, mode="drop")
+    # pad visits (v >= total + n_uncov) repeat the LAST visited tile
+    last_uncov = jnp.max(jnp.where(uncov, tiles, -1))
+    pad_fill = jnp.where(n_uncov > 0, last_uncov, t1[n_chunks - 1])
+    tv = jnp.where(vidx >= total + n_uncov, pad_fill, tv)
+
     pad = n_chunks * C - key_s.shape[0]
     kf = key_s.astype(jnp.float32)
     if pad:
@@ -191,8 +220,6 @@ class TiledStream(NamedTuple):
         (absolute cell coords ride as rows so the kernels never derive
         vector values from SMEM scalars).
     key: (N,) int32 sorted keys; rank: (N,) int32 rank within cell.
-    tile_mask: (n_tiles,) bool — tiles with at least one particle (scatter
-        output is zeroed outside; their blocks are never visited).
     plan: VisitPlan for this ordering.
     sorted: tuple of (N,) sorted field arrays (px,py,pz,vx,vy,vz).
     """
@@ -200,7 +227,6 @@ class TiledStream(NamedTuple):
     payload: jnp.ndarray
     key: jnp.ndarray
     rank: jnp.ndarray
-    tile_mask: jnp.ndarray
     plan: VisitPlan
     sorted: tuple
 
@@ -235,12 +261,8 @@ def tiled_sort(pos, vel, dx, grid_shape) -> TiledStream:
     if pad:
         payload = jnp.pad(payload, ((0, 0), (0, pad)))
 
-    n_tiles = (grid_shape[0] * grid_shape[1] * grid_shape[2]) // W
-    bounds = jnp.arange(n_tiles + 1, dtype=jnp.int32) * W
-    starts = jnp.searchsorted(key_s, bounds).astype(jnp.int32)
-    tile_mask = starts[1:] > starts[:-1]
     plan = plan_visits(key_s, n, grid_shape)
-    return TiledStream(payload, key_s, rank, tile_mask, plan, tuple(ops[1:]))
+    return TiledStream(payload, key_s, rank, plan, tuple(ops[1:]))
 
 
 # ---------------------------------------------------------------------------
@@ -341,14 +363,13 @@ def _scatter_chunk_values(data, local, dx, cap):
 
 @functools.partial(
     jax.jit, static_argnames=("grid_shape", "dx", "cap"))
-def scatter_p2g_table(tabs, lockeys, payload, tile_mask, grid_shape, dx, cap):
+def scatter_p2g_table(tabs, lockeys, payload, grid_shape, dx, cap):
     """-> (n_tiles, W, N_P2G + cap*4) per-cell sums + expanded table.
 
     One grid step per (chunk, tile) visit: the chunk payload and the tile
     accumulator are both selected by prefetched index maps; the one-hot
-    matmul adds the chunk's contribution. Tiles without particles are never
-    visited; `tile_mask` zeroes their (uninitialized) blocks afterwards —
-    the where() fuses into the downstream tile-major transpose."""
+    matmul adds the chunk's contribution. Particle-free tiles are zeroed by
+    the plan's empty-tile visits, so no occupancy-mask pass runs after."""
     nv = lockeys.shape[1] // C
     nt = tile_counts(grid_shape)
     n_tiles = nt[0] * nt[1] * nt[2]
@@ -365,7 +386,7 @@ def scatter_p2g_table(tabs, lockeys, payload, tile_mask, grid_shape, dx, cap):
         m1, vals = _scatter_chunk_values(pay_ref[:], lk_ref[:], dxf, cap)
         out_ref[0] += jax.lax.dot_general(
             m1, vals, (((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=ONEHOT_PREC,
             preferred_element_type=jnp.float32,
         )
 
@@ -378,13 +399,12 @@ def scatter_p2g_table(tabs, lockeys, payload, tile_mask, grid_shape, dx, cap):
         ],
         out_specs=pl.BlockSpec((1, W, n_cols), lambda v, t: (t[v], 0, 0)),
     )
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((n_tiles, W, n_cols), jnp.float32),
         grid_spec=grid_spec,
         interpret=_interpret(),
     )(tabs, lockeys, payload)
-    return jnp.where(tile_mask[:, None, None], out, 0.0)
 
 
 def split_scatter_output(out, grid_shape, cap):
@@ -467,7 +487,7 @@ def gather_rows(tabs, lockeys, cols_tm, n):
         m1 = jnp.where(lk_ref[:] == sub_w, 1.0, 0.0)
         out_ref[0] += jax.lax.dot_general(
             m1, cols_ref[0], (((0,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
+            precision=ONEHOT_PREC,
             preferred_element_type=jnp.float32,
         )
 
@@ -546,6 +566,129 @@ def combine_mac_samples(rows, px, py, pz, keys, dx, grid_shape, n_grids,
                 out = jnp.where(valid, out, 0.0)
             outs[comp].append(out)
     return outs
+
+
+# ---------------------------------------------------------------------------
+# fused gather + trilinear MAC combine (G2P without the (N, F) rows buffer)
+# ---------------------------------------------------------------------------
+
+GOUT = 8   # padded output sublanes; real rows = 3 * n_grids
+
+
+def gather_payload(px, py, pz, keys, grid_shape):
+    """(6, n_chunks*C) f32 [px,py,pz,gi,gj,gk] rows for gather_mac, from
+    stream-ordered positions and their sorted tile-major keys."""
+    gi, gj, gk = decode_key(keys, grid_shape)
+    rows = jnp.stack(
+        [px, py, pz, gi.astype(jnp.float32), gj.astype(jnp.float32),
+         gk.astype(jnp.float32)], axis=0)
+    pad = _n_chunks(px.shape[0]) * C - px.shape[0]
+    if pad:
+        rows = jnp.pad(rows, ((0, 0), (0, pad)))
+    return rows
+
+
+def _trilinear_weightsT(pay, dx, n_grids, f):
+    """(f, C) per-(lane, particle) trilinear corner weights.
+
+    Lane layout matches build_mac_columns: lane = (comp*n_grids+g)*18+oidx.
+    Reproduces combine_mac_samples' math (macvelocityfield.cpp:455-578) with
+    the lane decomposition done as f32 select arithmetic (Mosaic-safe)."""
+    px, py, pz = pay[0:1], pay[1:2], pay[2:3]
+    gi, gj, gk = pay[3:4], pay[4:5], pay[5:6]
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (f, C), 0)
+    comp = lane // (18 * n_grids)
+    oidx = lane % 18
+    ox = (oidx // 9).astype(jnp.float32)
+    oy = ((oidx // 3) % 3 - 1).astype(jnp.float32)
+    oz = (oidx % 3 - 1).astype(jnp.float32)
+    is_u = (comp == 0).astype(jnp.float32)
+    is_v = (comp == 1).astype(jnp.float32)
+    is_w = (comp == 2).astype(jnp.float32)
+    o_x = is_u * ox + is_v * oy + is_w * oy
+    o_y = is_u * oy + is_v * ox + is_w * oz
+    o_z = is_u * oz + is_v * oz + is_w * ox
+    off_x = 0.5 * (1.0 - is_u)
+    off_y = 0.5 * (1.0 - is_v)
+    off_z = 0.5 * (1.0 - is_w)
+
+    def axis_w(p, g, off, o_ax):
+        fr = p / dx - off
+        b = jnp.floor(fr)
+        frac = fr - b
+        corner = o_ax - (b - g)
+        return jnp.where(
+            corner == 0.0, 1.0 - frac,
+            jnp.where(corner == 1.0, frac, 0.0))
+
+    return (axis_w(px, gi, off_x, o_x) * axis_w(py, gj, off_y, o_y)
+            * axis_w(pz, gk, off_z, o_z))
+
+
+@functools.partial(jax.jit, static_argnames=("n", "dx", "n_grids"))
+def gather_mac(tabs, lockeys, pay, cols_tm, n, dx, n_grids):
+    """Fused G2P: per-particle MAC samples without materializing rows.
+
+    pay: (6, n_chunks*C) gather_payload rows; cols_tm: (n_tiles, W, F)
+    build_mac_columns output in tile-major layout. Returns
+    (GOUT, n_chunks*C) f32 where row comp*n_grids+g is that grid's sampled
+    component (rows >= 3*n_grids are zero). Per visit: the one-hot gather,
+    the trilinear weight matrix, and an (8, F) one-hot lane-group
+    contraction all stay in VMEM — the (N, F) row buffer of
+    gather_rows+combine_mac_samples (1.7 GB at 128^3/4.1M, 8.6 GB at 256^3)
+    never exists."""
+    nv = lockeys.shape[1] // C
+    n_chunks = _n_chunks(n)
+    n_cols_logical = cols_tm.shape[2]
+    f = -(-n_cols_logical // ALIGN) * ALIGN
+    if f != n_cols_logical:
+        cols_tm = jnp.pad(
+            cols_tm, ((0, 0), (0, 0), (0, f - n_cols_logical)))
+    dxf = float(dx)
+
+    def kernel(tabs_ref, lk_ref, pay_ref, cols_ref, out_ref):
+        v = pl.program_id(0)
+
+        @pl.when(tabs_ref[3 * nv + v] == 1)
+        def _zero():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        sub_w = jax.lax.broadcasted_iota(
+            jnp.int32, (W, C), 0).astype(jnp.float32)
+        m1 = jnp.where(lk_ref[:] == sub_w, 1.0, 0.0)
+        row_t = jax.lax.dot_general(
+            cols_ref[0], m1, (((0,), (0,)), ((), ())),
+            precision=(jax.lax.Precision.HIGHEST,
+                       jax.lax.Precision.DEFAULT),
+            preferred_element_type=jnp.float32)          # (F, C)
+        w_t = _trilinear_weightsT(pay_ref[:], dxf, n_grids, f)
+        r8 = jax.lax.broadcasted_iota(jnp.int32, (GOUT, f), 0)
+        l8 = jax.lax.broadcasted_iota(jnp.int32, (GOUT, f), 1)
+        g8 = jnp.where(
+            (l8 // 18 == r8) & (l8 < 54 * n_grids), 1.0, 0.0)
+        out_ref[:] += jax.lax.dot_general(
+            g8, w_t * row_t, (((1,), (0,)), ((), ())),
+            precision=ONEHOT_PREC,
+            preferred_element_type=jnp.float32)          # (GOUT, C)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nv,),
+        in_specs=[
+            pl.BlockSpec((1, C), lambda v, t: (0, v)),
+            pl.BlockSpec((6, C), lambda v, t: (0, t[nv + v])),
+            pl.BlockSpec((1, W, f), lambda v, t: (t[v], 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((GOUT, C), lambda v, t: (0, t[nv + v])),
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((GOUT, n_chunks * C), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=_interpret(),
+    )(tabs, lockeys, pay, cols_tm)
+    return out[:, :n] if n_chunks * C != n else out
 
 
 def sort_by_key(key, fields, grid_shape):

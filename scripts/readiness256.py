@@ -1,0 +1,93 @@
+"""256^3 single-device readiness check on the CPU backend.
+
+Compiles and runs ONE pallas-engine substep at 256^3 grid shapes (reduced
+particle count so the CPU box survives) to flush shape/plan/memory-structure
+bugs in the tile-block engine at BASELINE config-4 scale before the real
+TPU attempt. Companion to scripts/readiness512.py (which checks the
+shard_map slab pipeline at config-5 scale).
+
+Usage: NPART=500000 python scripts/readiness256.py
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/flip3d_jax_cache_cpu")
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+
+import jax.numpy as jnp
+import numpy as np
+
+from flipviscosity3d_tpu.config import SimConfig
+from flipviscosity3d_tpu.core import step as step_mod
+from flipviscosity3d_tpu.core.sim import FluidSimulation
+from flipviscosity3d_tpu.ops.mesh_sdf import MeshLevelSet
+
+
+def analytic_boundary_sdf(cfg):
+    """Inverted-box solid SDF (same closed form as scripts/readiness512.py)
+    so setup never runs the mesh->SDF path at this scale."""
+    inset = 0.5 * (3.0 * cfg.dx + 1e-6)
+    lo = np.full(3, inset, np.float64)
+    hi = np.array([cfg.isize, cfg.jsize, cfg.ksize], np.float64) * cfg.dx \
+        - inset
+    axes = [np.arange(s + 1, dtype=np.float64) * cfg.dx
+            for s in (cfg.isize, cfg.jsize, cfg.ksize)]
+    p = np.stack(np.meshgrid(*axes, indexing="ij"), axis=-1)
+    q_lo = lo - p
+    q_hi = p - hi
+    q = np.maximum(q_lo, q_hi)
+    outside = np.linalg.norm(np.maximum(q, 0.0), axis=-1)
+    inside = np.minimum(np.max(q, axis=-1), 0.0)
+    phi = (outside + inside).astype(np.float32)
+    return MeshLevelSet(jnp.asarray(-phi), cfg.dx)
+
+
+def main():
+    res = int(os.environ.get("RES", "256"))
+    npart = int(os.environ.get("NPART", "500000"))
+    print(f"devices: {jax.devices()}", flush=True)
+
+    sim = FluidSimulation.__new__(FluidSimulation)
+    sim.cfg = SimConfig(isize=res, jsize=res, ksize=res, dx=1.0 / res,
+                        particle_engine="pallas", bucket_capacity=8)
+    cfg = sim.cfg
+    sim._viscosity = jnp.ones(cfg.node_shape, jnp.float32) * 5.0
+    sim._solid_sdf = analytic_boundary_sdf(cfg)
+    sim._gravity = np.array([0.0, -9.81, 0.0], np.float32)
+    sim._rng = np.random.default_rng(0)
+
+    rng = np.random.default_rng(1)
+    m = 2.0 / res
+    pos = rng.uniform(
+        [m, m, m], [1.0 - m, 0.25, 1.0 - m], (npart, 3)).astype(np.float32)
+    sim._particles_pos = [pos]
+    sim._state = None
+    state = sim.state
+    print(f"state built: {res}^3, {npart} particles "
+          f"(engine={cfg.particle_engine}, cap={cfg.bucket_capacity})",
+          flush=True)
+
+    step_fn = jax.jit(lambda s: step_mod.step(s, jnp.float32(0.004), cfg))
+    t0 = time.time()
+    new_state, diag = step_fn(state)
+    com = float(jnp.mean(new_state.pos[:, 1]))
+    t1 = time.time()
+    print(f"substep compiled+ran in {t1 - t0:.1f}s  com_y={com:.5f} "
+          f"overflow={int(diag['bucket_overflow'])}", flush=True)
+    assert np.isfinite(com)
+    t0 = time.time()
+    new_state, diag = step_fn(state)
+    float(jnp.mean(new_state.pos[:, 1]))
+    print(f"warm substep {time.time() - t0:.2f}s", flush=True)
+    print("READY", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -85,7 +85,7 @@ def test_scatter_matches_table_engine():
     stream = pp.tiled_sort(state.pos, state.vel, cfg_t.dx, cfg_t.grid_shape)
     out = pp.scatter_p2g_table(
         stream.plan.tabs, stream.plan.lockeys, stream.payload,
-        stream.tile_mask, cfg_t.grid_shape, cfg_t.dx, cfg_t.bucket_capacity)
+        cfg_t.grid_shape, cfg_t.dx, cfg_t.bucket_capacity)
     sums, fields = pp.split_scatter_output(
         out, cfg_t.grid_shape, cfg_t.bucket_capacity)
     phi_p = pp.liquid_sdf_from_fields(
@@ -123,6 +123,82 @@ def test_gather_rows_matches_take():
         + np.asarray(k)
     want = np.asarray(cols_std).reshape(-1, 54)[std_key]
     np.testing.assert_allclose(np.asarray(rows), want, rtol=1e-6, atol=1e-6)
+
+
+def test_plan_visits_invariants():
+    """Every tile is first-visited exactly once (so every scatter block is
+    zero-initialized), tile indices never revisit a flushed block, and each
+    chunk's visits are consecutive."""
+    shape = (16, 16, 16)
+    rng = np.random.default_rng(7)
+    n = 5000
+    # clustered positions -> plenty of empty tiles
+    pos = jnp.asarray(
+        (rng.random((n, 3), np.float32) * 0.3 + 0.1).astype(np.float32))
+    key_s = jnp.sort(pp.key_of_position(pos, 1.0 / 16, shape))
+    plan = pp.plan_visits(key_s, n, shape)
+    nv = plan.lockeys.shape[1] // pp.C
+    tabs = np.asarray(plan.tabs).reshape(4, nv)
+    tv, cv, first_t, first_c = tabs
+
+    n_tiles = (16 * 16 * 16) // pp.W
+    # each tile index zeroed exactly once
+    zeroed = tv[first_t == 1]
+    assert sorted(zeroed.tolist()) == list(range(n_tiles))
+    # a tile never reappears after a different tile followed it, except the
+    # trailing pad region which must repeat the final written tile
+    seen, last = set(), None
+    for t in tv:
+        if t != last and t in seen:
+            raise AssertionError(f"tile {t} revisited after flush")
+        seen.add(t)
+        last = t
+    # chunk visits consecutive and nondecreasing
+    assert (np.diff(cv) >= 0).all()
+    # localized keys of valid visits match the sorted keys
+    lk = np.asarray(plan.lockeys).reshape(nv, pp.C)
+    ks = np.asarray(key_s)
+    got = {}
+    for v in range(nv):
+        for p in range(pp.C):
+            if lk[v, p] >= 0:
+                gidx = cv[v] * pp.C + p
+                got[gidx] = tv[v] * pp.W + lk[v, p]
+    assert len(got) == n
+    np.testing.assert_array_equal(
+        np.array([got[i] for i in range(n)]), ks)
+
+
+def test_gather_mac_matches_unfused():
+    """Fused gather_mac == gather_rows + combine_mac_samples (its oracle)."""
+    shape = (16, 16, 16)
+    dx = 1.0 / 16
+    rng = np.random.default_rng(3)
+    n = 3000
+    pos = jnp.asarray(rng.random((n, 3), np.float32) * 0.9 + 0.05)
+    vel = jnp.zeros((n, 3), jnp.float32)
+    stream = pp.tiled_sort(pos, vel, dx, shape)
+    spx, spy, spz = stream.sorted[0], stream.sorted[1], stream.sorted[2]
+
+    grids = [jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+             for _ in range(6)]
+    cols = pp.to_tile_major(pp.build_mac_columns(
+        grids[0:2], grids[2:4], grids[4:6], shape))
+
+    rows = pp.gather_rows(stream.plan.tabs, stream.plan.lockeys, cols, n)
+    want = pp.combine_mac_samples(
+        rows, spx, spy, spz, stream.key, dx, shape, 2)
+
+    pay = jnp.concatenate(
+        [stream.payload[0:3], stream.payload[7:10]], axis=0)
+    gm = pp.gather_mac(
+        stream.plan.tabs, stream.plan.lockeys, pay, cols, n, dx, 2)
+    for comp in range(3):
+        for g in range(2):
+            np.testing.assert_allclose(
+                np.asarray(gm[comp * 2 + g]),
+                np.asarray(want[comp][g]), rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(gm[6:]), 0.0)
 
 
 @pytest.mark.parametrize("frames", [3])
