@@ -1,12 +1,13 @@
-"""256^3 single-device readiness check on the CPU backend.
+"""256^3 single-device readiness check (BASELINE config 4 scale).
 
-Compiles and runs ONE pallas-engine substep at 256^3 grid shapes (reduced
-particle count so the CPU box survives) to flush shape/plan/memory-structure
-bugs in the tile-block engine at BASELINE config-4 scale before the real
-TPU attempt. Companion to scripts/readiness512.py (which checks the
-shard_map slab pipeline at config-5 scale).
+Compiles and runs ONE pallas-engine substep at 256^3 grid shapes to flush
+shape/plan/memory-structure bugs in the tile-block engine. Runs on the TPU
+by default (the engine's Pallas kernels need Mosaic — interpret mode at
+~34K grid steps is infeasible); set READINESS_CPU=1 to force the CPU
+backend (only sensible at reduced RES). Companion to scripts/
+readiness512.py (which checks the shard_map slab pipeline at config 5).
 
-Usage: NPART=500000 python scripts/readiness256.py
+Usage: NPART=2000000 python scripts/readiness256.py
 """
 
 import os
@@ -17,9 +18,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", "/tmp/flip3d_jax_cache_cpu")
-os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+if os.environ.get("READINESS_CPU"):
+    jax.config.update("jax_platforms", "cpu")
+    os.environ.pop("PALLAS_AXON_POOL_IPS", None)
+jax.config.update("jax_compilation_cache_dir", "/tmp/flip3d_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
 import jax.numpy as jnp
 import numpy as np
