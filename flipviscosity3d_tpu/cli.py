@@ -21,6 +21,15 @@ from flipviscosity3d_tpu.io import trianglemesh as tm
 
 import jax as _jax
 
+# FLIP3D_PLATFORM=cpu forces the driver off the tunneled TPU. On this
+# machine the JAX_PLATFORMS env var is NOT enough: sitecustomize registers
+# the axon plugin at interpreter startup, and once the axon backend
+# half-initializes (e.g. the tunnel is down but accepting connections)
+# backend selection hangs; jax.config wins because it is consulted before
+# any backend is initialized.
+if os.environ.get("FLIP3D_PLATFORM"):
+    _jax.config.update("jax_platforms", os.environ["FLIP3D_PLATFORM"])
+
 _jax.config.update("jax_compilation_cache_dir",
                    os.environ.get("JAX_COMPILATION_CACHE_DIR",
                                   "/tmp/flip3d_jax_cache"))

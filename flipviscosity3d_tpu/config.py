@@ -80,6 +80,17 @@ class SimConfig:
     # scene peaks above 16/cell), so 24 keeps overflow at zero in practice.
     bucket_capacity: int = 24
 
+    # Liquid-SDF table capacity for the PALLAS engine only (its P2G/G2P are
+    # capacity-free; slots are needed just to enumerate per-cell particle
+    # positions for the 27-offset SDF min sweep). The min over a crowded
+    # cell's particles saturates far below bucket_capacity, so a smaller
+    # cap changes phi only in cells where it is already deeply negative;
+    # it cuts the scatter kernel's accumulator lanes and the (cap, n_cells)
+    # sweep traffic proportionally. None -> bucket_capacity (exact
+    # table-engine SDF semantics). The table engine ignores this (one
+    # capacity governs all its passes).
+    sdf_capacity: int | None = None
+
     # Bucket-overflow contract. Particles beyond bucket_capacity in one cell
     # skip that pass's grid transfers and take the documented ballistic
     # fallback instead (ops/buckets.gather_results: advect with the particle's
@@ -87,6 +98,18 @@ class SimConfig:
     # "fallback" keeps that policy silently; "error" makes
     # FluidSimulation.advance raise as soon as a frame reports overflow > 0.
     on_bucket_overflow: str = "fallback"
+
+    # Pallas-engine pass B. "plan" (default): keep pass-A ordering and
+    # gather the RK2 stage-2 samples through a midpoint visit plan
+    # (ops/pallas_particles.plan_midpoint_visits) — no second sort; chunks
+    # whose midpoints touch more than pallas_midpoint_budget distinct
+    # tiles (or blow the factor*n_chunks visit capacity) fall back to
+    # ballistic advection, counted as bucket_overflow. "sort": re-sort by
+    # the midpoint key (the round-2 path; exact, ~70-90 ms/substep slower
+    # at 4M particles).
+    pallas_pass_b: str = "plan"
+    pallas_midpoint_budget: int = 8
+    pallas_midpoint_factor: float = 3.0
 
     # Safety bound on CFL substeps per advance() call (reference has no cap;
     # its while-loop runs until t reaches dt).

@@ -387,7 +387,7 @@ def _step_pallas(state: SimState, dt, cfg: SimConfig):
     dx = cfg.dx
     shape = cfg.grid_shape
     solid = state.solid
-    cap = cfg.bucket_capacity
+    cap = cfg.sdf_capacity or cfg.bucket_capacity
 
     # ---------------- PASS A ----------------
     stream = pp.tiled_sort(state.pos, state.vel, dx, shape)
@@ -427,25 +427,46 @@ def _step_pallas(state: SimState, dt, cfg: SimConfig):
     my = spy + 0.5 * dt * nv
     mz = spz + 0.5 * dt * nw
 
-    # ---------------- PASS B: re-key by midpoint ----------------
+    # ---------------- PASS B: stage-2 sample at the midpoints ----------------
     key_m = pp.key_of_position(jnp.stack([mx, my, mz], axis=1), dx, shape)
-    key_b, sorted_b, plan_b = pp.sort_by_key(
-        key_m, (mx, my, mz, spx, spy, spz, vel_x, vel_y, vel_z), shape)
-    bmx, bmy, bmz, bpx, bpy, bpz, bvx, bvy, bvz = sorted_b
+    cols_b = pp.to_tile_major(pp.build_mac_columns([u], [v], [w], shape))
     ext = jnp.array([shape[0] * dx, shape[1] * dx, shape[2] * dx],
                     jnp.float32)
+    n_uncovered = jnp.int32(0)
+    if cfg.pallas_pass_b == "plan":
+        # no second sort: midpoint visit plan over the pass-A ordering;
+        # uncovered midpoints advect ballistically (table-engine contract)
+        plan_m = pp.plan_midpoint_visits(
+            key_m, stream.n, shape,
+            cfg.pallas_midpoint_budget, cfg.pallas_midpoint_factor)
+        pay_b = pp.gather_payload(mx, my, mz, key_m, shape)
+        gmb = pp.gather_mac(
+            plan_m.tabs, plan_m.lockeys, pay_b, cols_b, stream.n, dx, 1)
+        bmx, bmy, bmz = mx, my, mz
+        bpx, bpy, bpz = spx, spy, spz
+        bvx, bvy, bvz = vel_x, vel_y, vel_z
+        sample_ok = plan_m.covered
+        n_uncovered = jnp.sum((~plan_m.covered).astype(jnp.int32))
+    else:
+        key_b, sorted_b, plan_b = pp.sort_by_key(
+            key_m, (mx, my, mz, spx, spy, spz, vel_x, vel_y, vel_z), shape)
+        bmx, bmy, bmz, bpx, bpy, bpz, bvx, bvy, bvz = sorted_b
+        pay_b = pp.gather_payload(bmx, bmy, bmz, key_b, shape)
+        gmb = pp.gather_mac(
+            plan_b.tabs, plan_b.lockeys, pay_b, cols_b, stream.n, dx, 1)
+        sample_ok = None
     inside_m = (
         (bmx >= 0) & (bmx < ext[0])
         & (bmy >= 0) & (bmy < ext[1])
         & (bmz >= 0) & (bmz < ext[2])
     )
-    cols_b = pp.to_tile_major(pp.build_mac_columns([u], [v], [w], shape))
-    pay_b = pp.gather_payload(bmx, bmy, bmz, key_b, shape)
-    gmb = pp.gather_mac(
-        plan_b.tabs, plan_b.lockeys, pay_b, cols_b, stream.n, dx, 1)
     v2x = jnp.where(inside_m, gmb[0], 0.0)
     v2y = jnp.where(inside_m, gmb[1], 0.0)
     v2z = jnp.where(inside_m, gmb[2], 0.0)
+    if sample_ok is not None:
+        v2x = jnp.where(sample_ok, v2x, bvx)
+        v2y = jnp.where(sample_ok, v2y, bvy)
+        v2z = jnp.where(sample_ok, v2z, bvz)
     fnpx = bpx + dt * v2x
     fnpy = bpy + dt * v2y
     fnpz = bpz + dt * v2z
@@ -467,9 +488,11 @@ def _step_pallas(state: SimState, dt, cfg: SimConfig):
     new_vel = jnp.stack([bvx, bvy, bvz], axis=1)
 
     new_state = state._replace(pos=new_pos, vel=new_vel, u=u, v=v, w=w)
-    # P2G/G2P include every particle here; overflow only limits the SDF table
+    # P2G/G2P include every particle; overflow counts the SDF-table capacity
+    # drops plus pass-B midpoint-plan fallbacks
     diag = dict(
-        bucket_overflow=jnp.sum((stream.rank >= cap).astype(jnp.int32)),
+        bucket_overflow=jnp.sum((stream.rank >= cap).astype(jnp.int32))
+        + n_uncovered,
         **solver_diag,
     )
     return new_state, diag

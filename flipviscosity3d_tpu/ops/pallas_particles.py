@@ -135,11 +135,13 @@ def n_visits(n: int, grid_shape) -> int:
 class VisitPlan(NamedTuple):
     """Flattened (chunk, tile) incidence list of a tile-sorted stream.
 
-    tabs: (4*NV,) int32 scalar-prefetch table [tv | cv | first_tile |
-        first_chunk]: visit v reads particle chunk cv[v] against tile tv[v];
-        first_* flag the first visit of each output block in visit order.
-        Padding visits (beyond the real incidence count) repeat the last
-        (tile, chunk) with both flags 0 and masked keys.
+    tabs: (2*NV,) int32 scalar-prefetch table [packed | cv]: visit v reads
+        particle chunk cv[v] against tile tv[v] = packed[v] & TV_MASK;
+        packed bits 30/29 flag the first visit of each output tile / chunk
+        block in visit order (packing keeps the whole table inside the
+        ~1 MB SMEM budget at 256^3+, where 4 unpacked words per visit
+        overflow it). Padding visits (beyond the real incidence count)
+        repeat the last (tile, chunk) with both flags 0 and masked keys.
     lockeys: (1, NV*C) f32 per-visit TILE-LOCAL particle keys
         (key - tile*512); -1 for pad particles/visits so they match no
         one-hot row. Pre-localized on the XLA side because SMEM-scalar ->
@@ -150,6 +152,19 @@ class VisitPlan(NamedTuple):
 
     tabs: jnp.ndarray
     lockeys: jnp.ndarray
+
+
+TV_BITS = 29
+TV_MASK = (1 << TV_BITS) - 1   # tile ids: 512^3/512 = 2^18 tiles max
+FLAG_TILE = 1 << 30            # first visit of this output TILE block
+FLAG_CHUNK = 1 << 29           # first visit of this output CHUNK block
+
+
+def pack_tabs(tv, cv, first_t, first_c):
+    packed = (tv
+              | first_t.astype(jnp.int32) * FLAG_TILE
+              | first_c.astype(jnp.int32) * FLAG_CHUNK)
+    return jnp.concatenate([packed, cv])
 
 
 def plan_visits(key_s, n: int, grid_shape) -> VisitPlan:
@@ -208,8 +223,7 @@ def plan_visits(key_s, n: int, grid_shape) -> VisitPlan:
     lk = jnp.take(kc, cv, axis=0) - (tv[:, None] * W).astype(jnp.float32)
     lk = jnp.where(valid[:, None], lk, -1.0)
 
-    tabs = jnp.concatenate(
-        [tv, cv, first_t.astype(jnp.int32), first_c.astype(jnp.int32)])
+    tabs = pack_tabs(tv, cv, first_t, first_c)
     return VisitPlan(tabs, lk.reshape(1, -1))
 
 
@@ -379,7 +393,7 @@ def scatter_p2g_table(tabs, lockeys, payload, grid_shape, dx, cap):
     def kernel(tabs_ref, lk_ref, pay_ref, out_ref):
         v = pl.program_id(0)
 
-        @pl.when(tabs_ref[2 * nv + v] == 1)
+        @pl.when((tabs_ref[v] & FLAG_TILE) != 0)
         def _zero():
             out_ref[:] = jnp.zeros_like(out_ref)
 
@@ -397,7 +411,8 @@ def scatter_p2g_table(tabs, lockeys, payload, grid_shape, dx, cap):
             pl.BlockSpec((1, C), lambda v, t: (0, v)),
             pl.BlockSpec((NPAY, C), lambda v, t: (0, t[nv + v])),
         ],
-        out_specs=pl.BlockSpec((1, W, n_cols), lambda v, t: (t[v], 0, 0)),
+        out_specs=pl.BlockSpec(
+            (1, W, n_cols), lambda v, t: (t[v] & TV_MASK, 0, 0)),
     )
     return pl.pallas_call(
         kernel,
@@ -478,7 +493,7 @@ def gather_rows(tabs, lockeys, cols_tm, n):
     def kernel(tabs_ref, lk_ref, cols_ref, out_ref):
         v = pl.program_id(0)
 
-        @pl.when(tabs_ref[3 * nv + v] == 1)
+        @pl.when((tabs_ref[v] & FLAG_CHUNK) != 0)
         def _zero():
             out_ref[:] = jnp.zeros_like(out_ref)
 
@@ -496,7 +511,7 @@ def gather_rows(tabs, lockeys, cols_tm, n):
         grid=(nv,),
         in_specs=[
             pl.BlockSpec((1, C), lambda v, t: (0, v)),
-            pl.BlockSpec((1, W, n_cols), lambda v, t: (t[v], 0, 0)),
+            pl.BlockSpec((1, W, n_cols), lambda v, t: (t[v] & TV_MASK, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, C, n_cols), lambda v, t: (t[nv + v], 0, 0)),
     )
@@ -650,7 +665,7 @@ def gather_mac(tabs, lockeys, pay, cols_tm, n, dx, n_grids):
     def kernel(tabs_ref, lk_ref, pay_ref, cols_ref, out_ref):
         v = pl.program_id(0)
 
-        @pl.when(tabs_ref[3 * nv + v] == 1)
+        @pl.when((tabs_ref[v] & FLAG_CHUNK) != 0)
         def _zero():
             out_ref[:] = jnp.zeros_like(out_ref)
 
@@ -678,7 +693,7 @@ def gather_mac(tabs, lockeys, pay, cols_tm, n, dx, n_grids):
         in_specs=[
             pl.BlockSpec((1, C), lambda v, t: (0, v)),
             pl.BlockSpec((6, C), lambda v, t: (0, t[nv + v])),
-            pl.BlockSpec((1, W, f), lambda v, t: (t[v], 0, 0)),
+            pl.BlockSpec((1, W, f), lambda v, t: (t[v] & TV_MASK, 0, 0)),
         ],
         out_specs=pl.BlockSpec((GOUT, C), lambda v, t: (0, t[nv + v])),
     )
@@ -699,3 +714,191 @@ def sort_by_key(key, fields, grid_shape):
     key_s = ops[0]
     plan = plan_visits(key_s, n, grid_shape)
     return key_s, tuple(ops[1:]), plan
+
+
+# ---------------------------------------------------------------------------
+# packed narrow-row gather: F=8 rows without 16x lane-padding waste
+# ---------------------------------------------------------------------------
+
+PK_F = 8                  # packed row width (the pushback's 8 cell nodes)
+PK_G = ALIGN // PK_F      # cells folded per 128-lane row
+PK_R = W // PK_G          # sublane rows per tile block
+
+
+def pack_cols8(cols_tm):
+    """(n_tiles, W, 8) tile-major columns -> (n_tiles, W/16, 128): 16 cells'
+    8-lane rows share one 128-lane vector row, so the per-visit DMA moves
+    16 KB instead of the 256 KB a 128-padded (W, F) block would."""
+    n_tiles = cols_tm.shape[0]
+    return cols_tm.reshape(n_tiles, PK_R, ALIGN)
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def gather_rows8(tabs, lockeys, cols_pk, n):
+    """Per-particle 8-wide rows from pack_cols8 columns, any visit plan.
+
+    Two one-hot contractions replace the wide gather: a (PK_R, C) row
+    one-hot pulls each particle's packed 128-lane row onto the MXU, then an
+    in-lane group select + an (8, 128) lane one-hot compact the particle's
+    8 real lanes. Returns (8, n_chunks*C) f32 (slice [:, :n]); rows of
+    unmatched particles (lockey -1 / uncovered plans) are zero."""
+    nv = lockeys.shape[1] // C
+    n_chunks = nv and (lockeys.shape[1] // C)  # keep flake quiet
+    n_chunks = _n_chunks(n)
+
+    def kernel(tabs_ref, lk_ref, cols_ref, out_ref):
+        v = pl.program_id(0)
+
+        @pl.when((tabs_ref[v] & FLAG_CHUNK) != 0)
+        def _zero():
+            out_ref[:] = jnp.zeros_like(out_ref)
+
+        lk = lk_ref[:]                                     # (1, C)
+        rowf = jnp.floor(lk * (1.0 / PK_G))                # -1 -> no match
+        sub_r = jax.lax.broadcasted_iota(
+            jnp.int32, (PK_R, C), 0).astype(jnp.float32)
+        r1 = jnp.where(rowf == sub_r, 1.0, 0.0)            # (PK_R, C)
+        rows_t = jax.lax.dot_general(
+            cols_ref[0], r1, (((0,), (0,)), ((), ())),
+            precision=(jax.lax.Precision.HIGHEST,
+                       jax.lax.Precision.DEFAULT),
+            preferred_element_type=jnp.float32)            # (128, C)
+        g_row = lk - rowf * PK_G                           # (1, C) in [0,16)
+        l_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (ALIGN, C), 0)
+        ghot = jnp.where(
+            (l_iota // PK_F).astype(jnp.float32) == g_row, 1.0, 0.0)
+        sel8 = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (PK_F, ALIGN), 1) % PK_F
+            == jax.lax.broadcasted_iota(jnp.int32, (PK_F, ALIGN), 0),
+            1.0, 0.0)
+        out_ref[:] += jax.lax.dot_general(
+            sel8, ghot * rows_t, (((1,), (0,)), ((), ())),
+            precision=ONEHOT_PREC,
+            preferred_element_type=jnp.float32)            # (8, C)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(nv,),
+        in_specs=[
+            pl.BlockSpec((1, C), lambda v, t: (0, v)),
+            pl.BlockSpec(
+                (1, PK_R, ALIGN), lambda v, t: (t[v] & TV_MASK, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((PK_F, C), lambda v, t: (0, t[nv + v])),
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((PK_F, n_chunks * C), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=_interpret(),
+    )(tabs, lockeys, cols_pk)
+    return out[:, :n] if n_chunks * C != n else out
+
+
+# ---------------------------------------------------------------------------
+# midpoint visit plan: pass B WITHOUT the second sort
+# ---------------------------------------------------------------------------
+
+_IMAX = jnp.iinfo(jnp.int32).max
+
+
+class MidpointPlan(NamedTuple):
+    """gather_mac-compatible visit plan over UNSORTED (pass-A-ordered)
+    midpoint keys.
+
+    The RK2 midpoint moves at most cfl_number/2 cells from the particle's
+    home cell, so a pass-A chunk's midpoints touch only a handful of
+    distinct tiles (~2-4 at bench density vs the home span's ~1.1). Instead
+    of re-sorting 9 payload operands by the midpoint key (the reference
+    re-gathers at the midpoint, fluidsimulation.cpp:535-541; the round-2
+    engine re-sorted — 70-90 ms at 4.1M), enumerate those distinct tiles
+    per chunk and emit one visit per (chunk, midpoint-tile) incidence,
+    compacted to a static budget.
+
+    tabs/lockeys: exactly VisitPlan's layout, consumed by gather_mac
+        unchanged (visit v gathers tile tv[v] against chunk cv[v]'s
+        midpoint-local keys; tabs[3nv+v] zero-flags each chunk's first
+        visit).
+    covered: (n,) bool — this particle's midpoint tile received a visit.
+        False (per-chunk distinct tiles beyond `budget`, or total visits
+        beyond the plan capacity) means its gathered rows are
+        zero/garbage; callers must fall back (ballistic advection, like
+        the table engine's bucket-overflow contract) and count it.
+    """
+
+    tabs: jnp.ndarray
+    lockeys: jnp.ndarray
+    covered: jnp.ndarray
+
+
+def midpoint_plan_size(n: int, factor: float = 3.0) -> int:
+    """Static visit capacity of the midpoint plan."""
+    return max(int(factor * _n_chunks(n)), _n_chunks(n) + 8)
+
+
+def plan_midpoint_visits(key_m, n: int, grid_shape, budget: int = 8,
+                         factor: float = 3.0) -> MidpointPlan:
+    """Build a MidpointPlan from pass-A-ordered midpoint keys.
+
+    All dense XLA: `budget` min-extraction sweeps find each chunk's
+    distinct midpoint tiles in ascending order, a cumsum/searchsorted pair
+    compacts the (chunk, tile) incidences into `midpoint_plan_size(n)`
+    visits, and two (NV, C) row gathers localize the keys per visit."""
+    n_chunks = _n_chunks(n)
+    nv = midpoint_plan_size(n, factor)
+    pad = n_chunks * C - n
+    km = key_m.astype(jnp.int32)
+    if pad:
+        km = jnp.concatenate([km, jnp.full((pad,), _IMAX, jnp.int32)])
+    kmr = km.reshape(n_chunks, C)
+    tm = jnp.where(kmr == _IMAX, _IMAX, kmr // W)
+
+    # ---- per-chunk distinct midpoint tiles, ascending ----
+    rem = tm
+    tiles = []
+    for _ in range(budget):
+        m = jnp.min(rem, axis=1)
+        tiles.append(m)
+        rem = jnp.where(rem == m[:, None], _IMAX, rem)
+    tiles = jnp.stack(tiles, axis=1)               # (n_chunks, budget)
+    valid_b = tiles != _IMAX
+    cnt = jnp.sum(valid_b.astype(jnp.int32), axis=1)   # >= 1: every chunk
+    off = jnp.concatenate(                             # has a real particle
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(cnt, dtype=jnp.int32)])
+    total = jnp.minimum(off[n_chunks], nv)
+
+    # ---- compact into the static visit list ----
+    vidx = jnp.arange(nv, dtype=jnp.int32)
+    cv = jnp.clip(
+        jnp.searchsorted(off, vidx, side="right").astype(jnp.int32) - 1,
+        0, n_chunks - 1)
+    b = jnp.clip(vidx - off[cv], 0, budget - 1)
+    tv = tiles[cv, b]
+    in_range = vidx < total
+    last = total - 1
+    tv = jnp.where(in_range, tv, tv[last])
+    cv = jnp.where(in_range, cv, cv[last])
+    first_c = in_range & jnp.concatenate(
+        [jnp.ones((1,), bool), cv[1:] != cv[:-1]])
+
+    # ---- per-particle coverage (tiles are ascending, so the particle's
+    # extraction slot is a rank count) ----
+    slot = jnp.zeros(tm.shape, jnp.int32)
+    for bb in range(budget):
+        slot = slot + (tiles[:, bb:bb + 1] < tm).astype(jnp.int32)
+    hit = jnp.take_along_axis(
+        tiles, jnp.minimum(slot, budget - 1), axis=1) == tm
+    placed = off[:-1][:, None] + slot < nv
+    covered = (hit & (slot < budget) & placed & (kmr != _IMAX))
+    covered = covered.reshape(-1)[:n]
+
+    # ---- per-visit localized keys ----
+    tmv = jnp.take(tm, cv, axis=0)                 # (nv, C)
+    kmv = jnp.take(kmr, cv, axis=0)
+    lk = jnp.where(
+        (tmv == tv[:, None]) & in_range[:, None],
+        (kmv - tv[:, None] * W).astype(jnp.float32), -1.0)
+
+    tabs = pack_tabs(tv, cv, jnp.zeros((nv,), jnp.int32), first_c)
+    return MidpointPlan(tabs, lk.reshape(1, -1), covered)

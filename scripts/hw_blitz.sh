@@ -1,0 +1,24 @@
+#!/bin/bash
+# Round-3 hardware measurement blitz: run the moment the axon tunnel is up.
+# Usage: bash scripts/hw_blitz.sh [outfile]   (default /tmp/hw_blitz.log)
+# Serializes the per-stage engine probe and the three bench A/Bs so one
+# command produces every number the round-3 perf decisions need.
+set -u
+OUT="${1:-/tmp/hw_blitz.log}"
+cd "$(dirname "$0")/.."
+{
+  echo "=== hw_blitz $(date -u +%FT%TZ) ==="
+  echo "--- 1. devices ---"
+  timeout 120 python -c "import jax; print(jax.devices())" || exit 1
+
+  echo "--- 2. pallas engine per-stage probe (128^3 / 4.1M) ---"
+  timeout 3000 python scripts/pallas_engine_probe.py
+
+  echo "--- 3. bench: pallas engine (pass_b=plan default) ---"
+  BENCH_ENGINE=pallas timeout 4000 python bench.py
+
+  echo "--- 4. bench: table engine (round-2 reference point) ---"
+  BENCH_ENGINE=table timeout 4000 python bench.py
+
+  echo "=== done ==="
+} 2>&1 | tee "$OUT"

@@ -127,6 +127,29 @@ def main():
                   plan_b.tabs, plan_b.lockeys, pay_b, cols_b)
     total += ms
 
+    # ---- pass B WITHOUT the sort: midpoint visit plan over pass-A order.
+    # The midpoints here must follow the pass-A ORDERING (sorted positions
+    # + jitter), unlike the sort path above which re-orders them itself.
+    midA = np.stack([np.asarray(stream.sorted[a]) for a in range(3)], axis=1)
+    midA = midA + rng.uniform(-2.5 * DX, 2.5 * DX, (N, 3)).astype(np.float32)
+    midA_j = jnp.asarray(np.clip(midA, 0.001, 0.999))
+    planm_fn = jax.jit(lambda m: pp.plan_midpoint_visits(
+        pp.key_of_position(m, DX, SHAPE), N, SHAPE))
+    plan_m, ms_plan = timed("plan_midpoint_visits (B')", planm_fn, midA_j)
+    cov = float(jnp.mean(plan_m.covered.astype(jnp.float32)).item())
+    nv_m = plan_m.lockeys.shape[1] // pp.C
+    nv_b = plan_b.lockeys.shape[1] // pp.C
+    print(f"    coverage {cov:.6f}  visits {nv_m} (sort path {nv_b})",
+          flush=True)
+    paym_fn = jax.jit(lambda m: pp.gather_payload(
+        m[:, 0], m[:, 1], m[:, 2],
+        pp.key_of_position(m, DX, SHAPE), SHAPE))
+    pay_m, _ = timed("gather_payload (B')", paym_fn, midA_j)
+    _, ms_gm = timed("gather_mac (B', 1 grid)", gmb_fn,
+                     plan_m.tabs, plan_m.lockeys, pay_m, cols_b)
+    print(f"{'pass-B plan vs sort':28s} {'':14s} "
+          f"{ms_plan + ms_gm:9.2f} ms vs sort-path total above", flush=True)
+
     # exactness spot-check of the scatter on hardware: weight-sum column
     # conservation (each particle contributes kernel weights summing to
     # whatever the XLA combine reproduces; here just check finiteness + a

@@ -138,12 +138,14 @@ def test_plan_visits_invariants():
     key_s = jnp.sort(pp.key_of_position(pos, 1.0 / 16, shape))
     plan = pp.plan_visits(key_s, n, shape)
     nv = plan.lockeys.shape[1] // pp.C
-    tabs = np.asarray(plan.tabs).reshape(4, nv)
-    tv, cv, first_t, first_c = tabs
+    packed, cv = np.asarray(plan.tabs).reshape(2, nv)
+    tv = packed & pp.TV_MASK
+    first_t = (packed & pp.FLAG_TILE) != 0
+    first_c = (packed & pp.FLAG_CHUNK) != 0
 
     n_tiles = (16 * 16 * 16) // pp.W
     # each tile index zeroed exactly once
-    zeroed = tv[first_t == 1]
+    zeroed = tv[first_t]
     assert sorted(zeroed.tolist()) == list(range(n_tiles))
     # a tile never reappears after a different tile followed it, except the
     # trailing pad region which must repeat the final written tile
@@ -199,6 +201,89 @@ def test_gather_mac_matches_unfused():
                 np.asarray(gm[comp * 2 + g]),
                 np.asarray(want[comp][g]), rtol=1e-5, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(gm[6:]), 0.0)
+
+
+def test_midpoint_plan_matches_sorted_gather():
+    """gather_mac through plan_midpoint_visits == the sort-then-gather path
+    (its oracle), for covered particles; coverage is exhaustive at a
+    generous budget."""
+    shape = (16, 16, 16)
+    dx = 1.0 / 16
+    rng = np.random.default_rng(11)
+    n = 4000
+    pos = jnp.asarray(rng.random((n, 3), np.float32) * 0.9 + 0.05)
+    vel = jnp.zeros((n, 3), jnp.float32)
+    stream = pp.tiled_sort(pos, vel, dx, shape)
+    spx, spy, spz = stream.sorted[0], stream.sorted[1], stream.sorted[2]
+
+    # midpoints: jitter positions by up to 2.5 cells (the CFL-5 bound)
+    jit_ = rng.uniform(-2.5 * dx, 2.5 * dx, (n, 3)).astype(np.float32)
+    mx = spx + jnp.asarray(jit_[:, 0])
+    my = spy + jnp.asarray(jit_[:, 1])
+    mz = spz + jnp.asarray(jit_[:, 2])
+    key_m = pp.key_of_position(jnp.stack([mx, my, mz], axis=1), dx, shape)
+
+    grids = [jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+             for _ in range(3)]
+    cols = pp.to_tile_major(pp.build_mac_columns(
+        grids[0:1], grids[1:2], grids[2:3], shape))
+
+    # oracle: re-sort by the midpoint key, gather, un-sort
+    order = jnp.argsort(key_m, stable=True)
+    key_b, sorted_b, plan_b = pp.sort_by_key(
+        key_m, (mx, my, mz), shape)
+    pay_b = pp.gather_payload(sorted_b[0], sorted_b[1], sorted_b[2],
+                              key_b, shape)
+    gm_sorted = pp.gather_mac(
+        plan_b.tabs, plan_b.lockeys, pay_b, cols, n, dx, 1)
+    want = np.zeros((3, n), np.float32)
+    want[:, np.asarray(order)] = np.asarray(gm_sorted[:3])
+
+    # midpoint plan over the pass-A ordering
+    plan_m = pp.plan_midpoint_visits(key_m, n, shape, budget=27,
+                                     factor=27.0)
+    pay_m = pp.gather_payload(mx, my, mz, key_m, shape)
+    gm_plan = pp.gather_mac(
+        plan_m.tabs, plan_m.lockeys, pay_m, cols, n, dx, 1)
+
+    cov = np.asarray(plan_m.covered)
+    assert cov.all()  # generous budget -> exhaustive coverage
+    np.testing.assert_allclose(
+        np.asarray(gm_plan[:3]), want, rtol=1e-5, atol=1e-6)
+
+
+def test_midpoint_plan_budget_fallback():
+    """A tight budget marks excess-tile particles uncovered, never covered-
+    but-wrong: covered particles still gather exactly."""
+    shape = (16, 16, 16)
+    dx = 1.0 / 16
+    rng = np.random.default_rng(13)
+    n = 2000
+    pos = jnp.asarray(rng.random((n, 3), np.float32) * 0.9 + 0.05)
+    # scatter midpoints wildly so chunks touch many tiles
+    m = jnp.asarray(rng.random((n, 3), np.float32) * 0.9 + 0.05)
+    key_m = pp.key_of_position(m, dx, shape)
+
+    cols = pp.to_tile_major(pp.build_mac_columns(
+        [jnp.asarray(rng.standard_normal(shape).astype(np.float32))],
+        [jnp.zeros(shape, jnp.float32)], [jnp.zeros(shape, jnp.float32)],
+        shape))
+    plan_m = pp.plan_midpoint_visits(key_m, n, shape, budget=2, factor=1.5)
+    cov = np.asarray(plan_m.covered)
+    assert 0 < cov.sum() < n  # wild midpoints must overflow budget=2
+
+    pay_m = pp.gather_payload(m[:, 0], m[:, 1], m[:, 2], key_m, shape)
+    gm_plan = pp.gather_mac(
+        plan_m.tabs, plan_m.lockeys, pay_m, cols, n, dx, 1)
+
+    # oracle via the exhaustive plan
+    plan_full = pp.plan_midpoint_visits(key_m, n, shape, budget=27,
+                                        factor=27.0)
+    gm_full = pp.gather_mac(
+        plan_full.tabs, plan_full.lockeys, pay_m, cols, n, dx, 1)
+    np.testing.assert_allclose(
+        np.asarray(gm_plan[0])[cov], np.asarray(gm_full[0])[cov],
+        rtol=1e-5, atol=1e-6)
 
 
 @pytest.mark.parametrize("frames", [3])
