@@ -111,6 +111,14 @@ class SimConfig:
     pallas_midpoint_budget: int = 8
     pallas_midpoint_factor: float = 3.0
 
+    # Pallas-engine solid pushback. "gather": one XLA (N, 8) node-SDF
+    # row-gather (round-2 path, ~7-25 ns/row on this chip). "kernel":
+    # visit-plan packed gather (gather_rows8) — 16 cells share one
+    # 128-lane row so the DMA moves no padding; uncovered particles skip
+    # the pushback for one substep (counted as bucket_overflow). Default
+    # stays "gather" until the kernel path is measured on hardware.
+    pallas_pushback: str = "gather"
+
     # Safety bound on CFL substeps per advance() call (reference has no cap;
     # its while-loop runs until t reaches dt).
     max_substeps: int = 64

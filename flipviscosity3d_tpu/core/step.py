@@ -476,10 +476,36 @@ def _step_pallas(state: SimState, dt, cfg: SimConfig):
     cpx = jnp.clip(fnpx, lo[0], hi[0])
     cpy = jnp.clip(fnpy, lo[1], hi[1])
     cpz = jnp.clip(fnpz, lo[2], hi[2])
-    key_c = cell_of_position(jnp.stack([cpx, cpy, cpz], axis=1), dx, shape)
-    dpx, dpy, dpz = st.solid_pushback_at(
-        cpx, cpy, cpz, key_c, solid.phi, dx, shape
-    )
+    if cfg.pallas_pushback == "kernel":
+        # packed-row node-SDF gather through a clamped-position visit plan;
+        # uncovered particles skip this substep's pushback (counted below)
+        key_k = pp.key_of_position(
+            jnp.stack([cpx, cpy, cpz], axis=1), dx, shape)
+        plan_k = pp.plan_midpoint_visits(
+            key_k, stream.n, shape,
+            cfg.pallas_midpoint_budget, cfg.pallas_midpoint_factor)
+        cols_n = pp.pack_cols8(pp.to_tile_major(jnp.stack(
+            [c.reshape(shape) for c in st.node_corner_columns(
+                solid.phi, shape)], axis=-1)))
+        corners = pp.gather_rows8(
+            plan_k.tabs, plan_k.lockeys, cols_n, stream.n)
+        ki, kj, kk = pp.decode_key(key_k, shape)
+        dpx, dpy, dpz = st.pushback_from_corners(
+            [corners[f] for f in range(8)],
+            cpx / dx - ki.astype(jnp.float32),
+            cpy / dx - kj.astype(jnp.float32),
+            cpz / dx - kk.astype(jnp.float32))
+        ok = plan_k.covered
+        dpx = jnp.where(ok, dpx, 0.0)
+        dpy = jnp.where(ok, dpy, 0.0)
+        dpz = jnp.where(ok, dpz, 0.0)
+        n_uncovered = n_uncovered + jnp.sum((~ok).astype(jnp.int32))
+    else:
+        key_c = cell_of_position(
+            jnp.stack([cpx, cpy, cpz], axis=1), dx, shape)
+        dpx, dpy, dpz = st.solid_pushback_at(
+            cpx, cpy, cpz, key_c, solid.phi, dx, shape
+        )
     fx = jnp.clip(cpx + dpx, lo[0], hi[0])
     fy = jnp.clip(cpy + dpy, lo[1], hi[1])
     fz = jnp.clip(cpz + dpz, lo[2], hi[2])

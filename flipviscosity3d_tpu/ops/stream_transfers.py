@@ -181,6 +181,18 @@ def sample_mac_at(px, py, pz, keys, grids_u, grids_v, grids_w, dx,
     return outs["u"], outs["v"], outs["w"]
 
 
+NODE_CORNERS = tuple(itertools.product((0, 1), repeat=3))
+
+
+def node_corner_columns(phi_node, grid_shape):
+    """The 8 per-cell node columns the pushback interpolates, in
+    NODE_CORNERS order: column o holds phi_node[cell + o]."""
+    return [
+        shifted_read(phi_node, o, grid_shape).reshape(-1)
+        for o in NODE_CORNERS
+    ]
+
+
 def solid_pushback_at(px, py, pz, keys, phi_node, dx, grid_shape):
     """Per-particle displacement projecting penetrating particles out of
     solids (fluidsimulation.cpp:326-333): if phi<0, p -= phi*normalize(grad).
@@ -188,17 +200,19 @@ def solid_pushback_at(px, py, pz, keys, phi_node, dx, grid_shape):
     Positions must lie inside the domain (keys == floor(p/dx)), so the 8
     trilinear corners are exactly the home cell's nodes (+{0,1}^3), fetched
     as one 8-column row-gather of the node grid."""
-    corners = list(itertools.product((0, 1), repeat=3))
-    columns = [
-        shifted_read(phi_node, o, grid_shape).reshape(-1) for o in corners
-    ]
-    vals = rows_at_cells(columns, keys)
-    c = dict(zip(corners, vals))
-
+    vals = rows_at_cells(node_corner_columns(phi_node, grid_shape), keys)
     hi, hj, hk = decode_cells(keys, grid_shape)
     tx = px / dx - hi.astype(jnp.float32)
     ty = py / dx - hj.astype(jnp.float32)
     tz = pz / dx - hk.astype(jnp.float32)
+    return pushback_from_corners(vals, tx, ty, tz)
+
+
+def pushback_from_corners(vals, tx, ty, tz):
+    """The trilinear phi/gradient/projection math shared by the XLA row
+    gather above and the pallas packed gather (interpolation.cpp:122-184).
+    vals: 8 arrays in NODE_CORNERS order; t*: in-cell fractions."""
+    c = dict(zip(NODE_CORNERS, vals))
 
     def lerp(a, b, t):
         return (1.0 - t) * a + t * b

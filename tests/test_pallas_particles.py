@@ -17,10 +17,11 @@ from flipviscosity3d_tpu.io.trianglemesh import box_mesh
 from flipviscosity3d_tpu.ops import pallas_particles as pp
 
 
-def make_sim(engine, res=16, seed_box=(0.2, 0.2, 0.2, 0.8, 0.55, 0.8)):
+def make_sim(engine, res=16, seed_box=(0.2, 0.2, 0.2, 0.8, 0.55, 0.8),
+             **overrides):
     sim = FluidSimulation()
     sim.initialize(res, res, res, 1.0 / res, particle_engine=engine,
-                   bucket_capacity=16)
+                   bucket_capacity=16, **overrides)
     x0, y0, z0, x1, y1, z1 = seed_box
     sim.add_liquid(box_mesh((x0, y0, z0), (x1, y1, z1)))
     sim.set_viscosity(2.0)
@@ -283,6 +284,54 @@ def test_midpoint_plan_budget_fallback():
         plan_full.tabs, plan_full.lockeys, pay_m, cols, n, dx, 1)
     np.testing.assert_allclose(
         np.asarray(gm_plan[0])[cov], np.asarray(gm_full[0])[cov],
+        rtol=1e-5, atol=1e-6)
+
+
+def test_gather_rows8_matches_row_gather():
+    """Packed 8-wide gather == the XLA row gather it replaces, for any
+    visit plan (here: a midpoint-style plan over unsorted keys)."""
+    from flipviscosity3d_tpu.ops import stream_transfers as st
+    from flipviscosity3d_tpu.ops.stream import rows_at_cells
+
+    shape = (16, 16, 16)
+    dx = 1.0 / 16
+    rng = np.random.default_rng(17)
+    n = 3000
+    pos = jnp.asarray(rng.random((n, 3), np.float32) * 0.9 + 0.05)
+    key = pp.key_of_position(pos, dx, shape)
+    plan = pp.plan_midpoint_visits(key, n, shape, budget=27, factor=27.0)
+    assert bool(plan.covered.all())
+
+    phi_node = jnp.asarray(
+        rng.standard_normal((17, 17, 17)).astype(np.float32))
+    cols = st.node_corner_columns(phi_node, shape)
+    cols_tm = pp.to_tile_major(jnp.stack(
+        [c.reshape(shape) for c in cols], axis=-1))
+    rows8 = pp.gather_rows8(
+        plan.tabs, plan.lockeys, pp.pack_cols8(cols_tm), n)
+
+    # oracle keyed by the i-major cell id
+    i, j, k = pp.decode_key(key, shape)
+    std_key = (i * shape[1] + j) * shape[2] + k
+    want = rows_at_cells(cols, std_key)
+    for f in range(8):
+        np.testing.assert_allclose(
+            np.asarray(rows8[f]), np.asarray(want[f]),
+            rtol=1e-6, atol=1e-6)
+
+
+def test_full_advance_kernel_pushback_matches_gather():
+    """particle_engine=pallas with pallas_pushback=kernel reproduces the
+    default gather pushback end-to-end."""
+    sim_g = make_sim("pallas")
+    sim_k = make_sim("pallas", pallas_pushback="kernel")
+    for _ in range(2):
+        diag_g = sim_g.advance(0.01)
+        diag_k = sim_k.advance(0.01)
+        assert int(diag_g.substeps) == int(diag_k.substeps)
+        assert int(diag_k.bucket_overflow) == int(diag_g.bucket_overflow)
+    np.testing.assert_allclose(
+        np.asarray(sim_g.state.pos), np.asarray(sim_k.state.pos),
         rtol=1e-5, atol=1e-6)
 
 
