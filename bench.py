@@ -32,9 +32,10 @@ _jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 TARGET_STEPS_PER_SEC = 50.0  # BASELINE.json north star (1x TPU v5p)
 
 
-def run(engine: str) -> None:
+def run(engine: str, frames: int | None = None, quiet: bool = False) -> float:
     res = int(os.environ.get("BENCH_RESOLUTION", "128"))
-    frames = int(os.environ.get("BENCH_FRAMES", "5"))
+    if frames is None:
+        frames = int(os.environ.get("BENCH_FRAMES", "5"))
     dt = 0.01
 
     from flipviscosity3d_tpu import FluidSimulation
@@ -44,8 +45,15 @@ def run(engine: str) -> None:
     # the pool seeds exactly 8 particles/cell and runs a few frames; capacity
     # 16 keeps overflow at 0 while fitting the 4M-particle tables in HBM
     cap = int(os.environ.get("BENCH_BUCKET_CAPACITY", "16"))
+    overrides = {}
+    if os.environ.get("BENCH_PASS_B"):          # pallas A/B: plan | sort
+        overrides["pallas_pass_b"] = os.environ["BENCH_PASS_B"]
+    if os.environ.get("BENCH_PUSHBACK"):        # pallas A/B: gather | kernel
+        overrides["pallas_pushback"] = os.environ["BENCH_PUSHBACK"]
+    if os.environ.get("BENCH_SDF_CAPACITY"):
+        overrides["sdf_capacity"] = int(os.environ["BENCH_SDF_CAPACITY"])
     sim.initialize(res, res, res, 1.0 / res, bucket_capacity=cap,
-                   particle_engine=engine)
+                   particle_engine=engine, **overrides)
 
     # pool filling the bottom ~27% of the open interior -> ~4.2M particles
     lo = 2.5 / res
@@ -75,35 +83,64 @@ def run(engine: str) -> None:
     wall = time.perf_counter() - t0
 
     steps_per_sec = substeps / wall
-    print(
-        json.dumps(
-            {
-                "metric": f"sim substeps/sec, {res}^3 grid, "
-                f"{n_particles} particles, full pressure+viscosity",
-                "value": round(steps_per_sec, 3),
-                "unit": "steps/s",
-                "vs_baseline": round(steps_per_sec / TARGET_STEPS_PER_SEC, 4),
-            }
-        ),
-        flush=True,
-    )
+    if not quiet:
+        print(
+            json.dumps(
+                {
+                    "metric": f"sim substeps/sec, {res}^3 grid, "
+                    f"{n_particles} particles, full pressure+viscosity",
+                    "value": round(steps_per_sec, 3),
+                    "unit": "steps/s",
+                    "vs_baseline": round(
+                        steps_per_sec / TARGET_STEPS_PER_SEC, 4),
+                }
+            ),
+            flush=True,
+        )
+    return steps_per_sec
 
 
 def main():
-    # Default engine: the XLA table engine — measured 1.15 steps/s. The
-    # tile-block Pallas engine compiles and is exact on hardware but its
-    # per-grid-step cost on this axon chip is pathological (~15-30 ms/step,
-    # see docs/DESIGN.md round-3 notes); opt in with BENCH_ENGINE=pallas
-    # once the kernel restructure lands.
-    engine = os.environ.get("BENCH_ENGINE", "table")
-    try:
-        run(engine)
-    except Exception as e:  # noqa: BLE001 — report, then fall back
-        if engine == "table":
-            raise
-        print(f"# engine {engine!r} failed ({type(e).__name__}: {e}); "
-              "retrying with 'table'", file=sys.stderr, flush=True)
-        run("table")
+    # BENCH_ENGINE: "table" | "pallas" | "auto". The default comes from the
+    # committed BENCH_DEFAULT marker, written by scripts/hw_blitz.sh after
+    # it MEASURES both engines on hardware (the measured-default rule: no
+    # engine choice without a number behind it). Falls back to "table" so
+    # a cold persistent cache never pays two full 128^3 compiles.
+    default = "table"
+    marker = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "BENCH_DEFAULT")
+    if os.path.exists(marker):
+        with open(marker) as f:
+            val = f.read().split()[0].strip()
+        if val in ("table", "pallas", "stream", "auto"):
+            default = val
+    engine = os.environ.get("BENCH_ENGINE", default)
+    if engine != "auto":
+        try:
+            run(engine)
+        except Exception as e:  # noqa: BLE001 — report, then fall back
+            if engine == "table":
+                raise
+            print(f"# engine {engine!r} failed ({type(e).__name__}: {e}); "
+                  "retrying with 'table'", file=sys.stderr, flush=True)
+            run("table")
+        return
+
+    scores = {}
+    for eng in ("pallas", "table"):
+        try:
+            scores[eng] = run(eng, frames=2, quiet=True)
+            print(f"# auto: {eng} {scores[eng]:.3f} steps/s",
+                  file=sys.stderr, flush=True)
+        except Exception as e:  # noqa: BLE001
+            print(f"# auto: engine {eng!r} failed "
+                  f"({type(e).__name__}: {e})", file=sys.stderr, flush=True)
+    if not scores:
+        raise RuntimeError("both engines failed")
+    best = max(scores, key=scores.get)
+    print(f"# auto: running full bench on {best!r}",
+          file=sys.stderr, flush=True)
+    run(best)
 
 
 if __name__ == "__main__":

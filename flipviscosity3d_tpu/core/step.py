@@ -428,8 +428,11 @@ def _step_pallas(state: SimState, dt, cfg: SimConfig):
     mz = spz + 0.5 * dt * nw
 
     # ---------------- PASS B: stage-2 sample at the midpoints ----------------
+    # Reuses pass A's 108-lane column images: the gather DMA is 128-lane
+    # padded either way, so sampling [u, saved_u] columns and keeping the
+    # g=0 rows costs the same as a dedicated 54-lane image — and the
+    # cols_b build + its HBM vanish.
     key_m = pp.key_of_position(jnp.stack([mx, my, mz], axis=1), dx, shape)
-    cols_b = pp.to_tile_major(pp.build_mac_columns([u], [v], [w], shape))
     ext = jnp.array([shape[0] * dx, shape[1] * dx, shape[2] * dx],
                     jnp.float32)
     n_uncovered = jnp.int32(0)
@@ -441,7 +444,7 @@ def _step_pallas(state: SimState, dt, cfg: SimConfig):
             cfg.pallas_midpoint_budget, cfg.pallas_midpoint_factor)
         pay_b = pp.gather_payload(mx, my, mz, key_m, shape)
         gmb = pp.gather_mac(
-            plan_m.tabs, plan_m.lockeys, pay_b, cols_b, stream.n, dx, 1)
+            plan_m.tabs, plan_m.lockeys, pay_b, cols_a, stream.n, dx, 2)
         bmx, bmy, bmz = mx, my, mz
         bpx, bpy, bpz = spx, spy, spz
         bvx, bvy, bvz = vel_x, vel_y, vel_z
@@ -453,7 +456,7 @@ def _step_pallas(state: SimState, dt, cfg: SimConfig):
         bmx, bmy, bmz, bpx, bpy, bpz, bvx, bvy, bvz = sorted_b
         pay_b = pp.gather_payload(bmx, bmy, bmz, key_b, shape)
         gmb = pp.gather_mac(
-            plan_b.tabs, plan_b.lockeys, pay_b, cols_b, stream.n, dx, 1)
+            plan_b.tabs, plan_b.lockeys, pay_b, cols_a, stream.n, dx, 2)
         sample_ok = None
     inside_m = (
         (bmx >= 0) & (bmx < ext[0])
@@ -461,8 +464,8 @@ def _step_pallas(state: SimState, dt, cfg: SimConfig):
         & (bmz >= 0) & (bmz < ext[2])
     )
     v2x = jnp.where(inside_m, gmb[0], 0.0)
-    v2y = jnp.where(inside_m, gmb[1], 0.0)
-    v2z = jnp.where(inside_m, gmb[2], 0.0)
+    v2y = jnp.where(inside_m, gmb[2], 0.0)
+    v2z = jnp.where(inside_m, gmb[4], 0.0)
     if sample_ok is not None:
         v2x = jnp.where(sample_ok, v2x, bvx)
         v2y = jnp.where(sample_ok, v2y, bvy)

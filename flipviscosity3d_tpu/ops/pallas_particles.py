@@ -743,7 +743,6 @@ def gather_rows8(tabs, lockeys, cols_pk, n):
     8 real lanes. Returns (8, n_chunks*C) f32 (slice [:, :n]); rows of
     unmatched particles (lockey -1 / uncovered plans) are zero."""
     nv = lockeys.shape[1] // C
-    n_chunks = nv and (lockeys.shape[1] // C)  # keep flake quiet
     n_chunks = _n_chunks(n)
 
     def kernel(tabs_ref, lk_ref, cols_ref, out_ref):

@@ -17,8 +17,14 @@ cd "$(dirname "$0")/.."
   echo "--- 3. bench: pallas engine (pass_b=plan default) ---"
   BENCH_ENGINE=pallas timeout 4000 python bench.py
 
+  echo "--- 3b. bench: pallas + kernel pushback + sdf cap 8 ---"
+  BENCH_ENGINE=pallas BENCH_PUSHBACK=kernel BENCH_SDF_CAPACITY=8 \
+    timeout 4000 python bench.py
+
   echo "--- 4. bench: table engine (round-2 reference point) ---"
   BENCH_ENGINE=table timeout 4000 python bench.py
 
+  echo "--- 5. now compare the steps/s above and write the winner ---"
+  echo "    echo <engine> > BENCH_DEFAULT && git commit"
   echo "=== done ==="
 } 2>&1 | tee "$OUT"

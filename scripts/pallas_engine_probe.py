@@ -62,6 +62,18 @@ def main():
     stream, ms = timed("tiled_sort+plan (pass A)", sort_fn, pos_j, vel_j)
     total += ms
 
+    # alternative pass-A sort: 2-operand (key, idx) sort + one (N, 6) row
+    # gather of the payload — wins if a row gather beats 5 sort operands
+    def sort_idx(p, v):
+        import jax.numpy as jnp_
+        key = pp.key_of_position(p, DX, SHAPE)
+        key_s, idx_s = jax.lax.sort(
+            (key, jnp_.arange(key.shape[0], dtype=jnp_.int32)), num_keys=1)
+        rows = jnp_.concatenate([p, v], axis=1)[idx_s]
+        return key_s, rows
+    _, ms_alt = timed("  alt: sort(key,idx)+take", jax.jit(sort_idx),
+                      pos_j, vel_j)
+
     scat_fn = jax.jit(lambda t, lk, pay: pp.scatter_p2g_table(
         t, lk, pay, SHAPE, DX, CAP))
     out, ms = timed("scatter_p2g_table", scat_fn,
@@ -149,6 +161,37 @@ def main():
                      plan_m.tabs, plan_m.lockeys, pay_m, cols_b)
     print(f"{'pass-B plan vs sort':28s} {'':14s} "
           f"{ms_plan + ms_gm:9.2f} ms vs sort-path total above", flush=True)
+
+    # ---- pushback A/B: XLA (N, 8) row gather vs packed-row kernel ----
+    from flipviscosity3d_tpu.ops import stream_transfers as st
+    from flipviscosity3d_tpu.ops.buckets import cell_of_position
+
+    phi_node = jnp.asarray(
+        rng.standard_normal((RES + 1, RES + 1, RES + 1)).astype(np.float32))
+    cp = jnp.stack([stream.sorted[0], stream.sorted[1], stream.sorted[2]],
+                   axis=1)
+    pbg_fn = jax.jit(lambda p, ph: st.solid_pushback_at(
+        p[:, 0], p[:, 1], p[:, 2],
+        cell_of_position(p, DX, SHAPE), ph, DX, SHAPE))
+    _, ms_g = timed("pushback: XLA row gather", pbg_fn, cp, phi_node)
+
+    def pb_kernel(p, ph):
+        key_k = pp.key_of_position(p, DX, SHAPE)
+        plan_k = pp.plan_midpoint_visits(key_k, N, SHAPE)
+        cols_n = pp.pack_cols8(pp.to_tile_major(jnp.stack(
+            [c.reshape(SHAPE)
+             for c in st.node_corner_columns(ph, SHAPE)], axis=-1)))
+        rows8 = pp.gather_rows8(plan_k.tabs, plan_k.lockeys, cols_n, N)
+        ki, kj, kk = pp.decode_key(key_k, SHAPE)
+        return st.pushback_from_corners(
+            [rows8[f] for f in range(8)],
+            p[:, 0] / DX - ki.astype(jnp.float32),
+            p[:, 1] / DX - kj.astype(jnp.float32),
+            p[:, 2] / DX - kk.astype(jnp.float32))
+    pbk_fn = jax.jit(pb_kernel)
+    _, ms_k = timed("pushback: packed kernel", pbk_fn, cp, phi_node)
+    print(f"    pushback A/B: gather {ms_g:.2f} ms vs kernel {ms_k:.2f} ms",
+          flush=True)
 
     # exactness spot-check of the scatter on hardware: weight-sum column
     # conservation (each particle contributes kernel weights summing to
