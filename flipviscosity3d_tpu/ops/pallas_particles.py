@@ -831,8 +831,19 @@ class MidpointPlan(NamedTuple):
     covered: jnp.ndarray
 
 
-def midpoint_plan_size(n: int, factor: float = 3.0) -> int:
-    """Static visit capacity of the midpoint plan."""
+def midpoint_plan_size(n: int, factor: float = 3.0,
+                       budget: int = 8) -> int:
+    """Static visit capacity of the midpoint plan.
+
+    budget * n_chunks always suffices (extraction caps each chunk at
+    `budget` tiles), so small problems get it outright — exhaustive
+    coverage within budget. Large problems cap at factor * n_chunks to
+    bound the scalar-prefetch tables (2 int32/visit of SMEM) and the pad
+    visits; coherent flow keeps distinct-tiles-per-chunk ~2-4 there, and
+    overflow falls back ballistically (counted)."""
+    exhaustive = budget * _n_chunks(n)
+    if exhaustive <= 8192:
+        return exhaustive
     return max(int(factor * _n_chunks(n)), _n_chunks(n) + 8)
 
 
@@ -845,7 +856,7 @@ def plan_midpoint_visits(key_m, n: int, grid_shape, budget: int = 8,
     compacts the (chunk, tile) incidences into `midpoint_plan_size(n)`
     visits, and two (NV, C) row gathers localize the keys per visit."""
     n_chunks = _n_chunks(n)
-    nv = midpoint_plan_size(n, factor)
+    nv = midpoint_plan_size(n, factor, budget)
     pad = n_chunks * C - n
     km = key_m.astype(jnp.int32)
     if pad:
