@@ -55,15 +55,45 @@ N_P2G = 108                        # 54 weight cols + 54 weight*velocity cols
 NPAY = 10                          # payload rows: px,py,pz,vx,vy,vz,rank,gi,gj,gk
 FAR = 1.0e8                        # empty-slot position sentinel
 
-# Per-operand MXU precision for the one-hot transfer matmuls: the one-hot
-# factor is exactly 0/1 (bf16-exact, one pass suffices); only the values
-# operand needs the 3-term bf16 split. (DEFAULT, HIGHEST) runs 3 MXU passes
-# instead of HIGHEST/HIGHEST's 6-9 while reproducing f32 products exactly.
-ONEHOT_PREC = (jax.lax.Precision.DEFAULT, jax.lax.Precision.HIGHEST)
-
-
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
+
+
+def _split3(x):
+    """f32 -> three bf16 terms whose sum reproduces x to ~2^-22 relative
+    (8+8+8 mantissa bits — the same decomposition XLA's HIGHEST uses)."""
+    x1 = x.astype(jnp.bfloat16)
+    r = x - x1.astype(jnp.float32)
+    x2 = r.astype(jnp.bfloat16)
+    x3 = (r - x2.astype(jnp.float32)).astype(jnp.bfloat16)
+    return x1, x2, x3
+
+
+def onehot_dot(onehot, vals, dims, onehot_left=True):
+    """dot_general where one operand is an exact 0/1 one-hot matrix.
+
+    The mixed-precision intent — a single bf16 pass on the 0/1 operand,
+    full f32 fidelity on the values — cannot be expressed as a per-operand
+    precision tuple: Mosaic rejects those on hardware
+    (NotImplementedError: Per-operand dot precision unsupported). Built
+    manually instead: the values operand splits into three bf16 terms
+    (_split3), each contracted against the bf16 one-hot in one native MXU
+    pass with f32 accumulation — 3 passes total vs HIGHEST/HIGHEST's 6-9,
+    reproducing the f32 products to ~2^-22. Interpret mode (CPU tests)
+    runs one exact f32 dot instead."""
+    if _interpret():
+        a, b = (onehot, vals) if onehot_left else (vals, onehot)
+        return jax.lax.dot_general(
+            a, b, dims, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+    oh = onehot.astype(jnp.bfloat16)
+    out = None
+    for term in _split3(vals):
+        a, b = (oh, term) if onehot_left else (term, oh)
+        d = jax.lax.dot_general(
+            a, b, dims, preferred_element_type=jnp.float32)
+        out = d if out is None else out + d
+    return out
 
 
 def check_grid(grid_shape) -> None:
@@ -398,11 +428,7 @@ def scatter_p2g_table(tabs, lockeys, payload, grid_shape, dx, cap):
             out_ref[:] = jnp.zeros_like(out_ref)
 
         m1, vals = _scatter_chunk_values(pay_ref[:], lk_ref[:], dxf, cap)
-        out_ref[0] += jax.lax.dot_general(
-            m1, vals, (((1,), (1,)), ((), ())),
-            precision=ONEHOT_PREC,
-            preferred_element_type=jnp.float32,
-        )
+        out_ref[0] += onehot_dot(m1, vals, (((1,), (1,)), ((), ())))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -500,11 +526,8 @@ def gather_rows(tabs, lockeys, cols_tm, n):
         sub_w = jax.lax.broadcasted_iota(
             jnp.int32, (W, C), 0).astype(jnp.float32)
         m1 = jnp.where(lk_ref[:] == sub_w, 1.0, 0.0)
-        out_ref[0] += jax.lax.dot_general(
-            m1, cols_ref[0], (((0,), (0,)), ((), ())),
-            precision=ONEHOT_PREC,
-            preferred_element_type=jnp.float32,
-        )
+        out_ref[0] += onehot_dot(
+            m1, cols_ref[0], (((0,), (0,)), ((), ())), onehot_left=True)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -672,20 +695,16 @@ def gather_mac(tabs, lockeys, pay, cols_tm, n, dx, n_grids):
         sub_w = jax.lax.broadcasted_iota(
             jnp.int32, (W, C), 0).astype(jnp.float32)
         m1 = jnp.where(lk_ref[:] == sub_w, 1.0, 0.0)
-        row_t = jax.lax.dot_general(
-            cols_ref[0], m1, (((0,), (0,)), ((), ())),
-            precision=(jax.lax.Precision.HIGHEST,
-                       jax.lax.Precision.DEFAULT),
-            preferred_element_type=jnp.float32)          # (F, C)
+        row_t = onehot_dot(
+            m1, cols_ref[0], (((0,), (0,)), ((), ())),
+            onehot_left=False)                           # (F, C)
         w_t = _trilinear_weightsT(pay_ref[:], dxf, n_grids, f)
         r8 = jax.lax.broadcasted_iota(jnp.int32, (GOUT, f), 0)
         l8 = jax.lax.broadcasted_iota(jnp.int32, (GOUT, f), 1)
         g8 = jnp.where(
             (l8 // 18 == r8) & (l8 < 54 * n_grids), 1.0, 0.0)
-        out_ref[:] += jax.lax.dot_general(
-            g8, w_t * row_t, (((1,), (0,)), ((), ())),
-            precision=ONEHOT_PREC,
-            preferred_element_type=jnp.float32)          # (GOUT, C)
+        out_ref[:] += onehot_dot(
+            g8, w_t * row_t, (((1,), (0,)), ((), ())))   # (GOUT, C)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -757,11 +776,9 @@ def gather_rows8(tabs, lockeys, cols_pk, n):
         sub_r = jax.lax.broadcasted_iota(
             jnp.int32, (PK_R, C), 0).astype(jnp.float32)
         r1 = jnp.where(rowf == sub_r, 1.0, 0.0)            # (PK_R, C)
-        rows_t = jax.lax.dot_general(
-            cols_ref[0], r1, (((0,), (0,)), ((), ())),
-            precision=(jax.lax.Precision.HIGHEST,
-                       jax.lax.Precision.DEFAULT),
-            preferred_element_type=jnp.float32)            # (128, C)
+        rows_t = onehot_dot(
+            r1, cols_ref[0], (((0,), (0,)), ((), ())),
+            onehot_left=False)                             # (128, C)
         g_row = lk - rowf * PK_G                           # (1, C) in [0,16)
         l_iota = jax.lax.broadcasted_iota(
             jnp.int32, (ALIGN, C), 0)
@@ -771,10 +788,8 @@ def gather_rows8(tabs, lockeys, cols_pk, n):
             jax.lax.broadcasted_iota(jnp.int32, (PK_F, ALIGN), 1) % PK_F
             == jax.lax.broadcasted_iota(jnp.int32, (PK_F, ALIGN), 0),
             1.0, 0.0)
-        out_ref[:] += jax.lax.dot_general(
-            sel8, ghot * rows_t, (((1,), (0,)), ((), ())),
-            precision=ONEHOT_PREC,
-            preferred_element_type=jnp.float32)            # (8, C)
+        out_ref[:] += onehot_dot(
+            sel8, ghot * rows_t, (((1,), (0,)), ((), ())))  # (8, C)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
