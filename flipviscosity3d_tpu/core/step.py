@@ -13,9 +13,10 @@ Particle work runs on one of three engines (cfg.particle_engine):
   transfers (ops/buckets.py, ops/particle_grid.py) — two table passes (A by
   position, B by RK2 midpoint) plus a gather-based pushback stage.
 - "pallas": tile-block one-hot MXU kernels over tile-sorted chunks
-  (ops/pallas_particles.py) — same two-pass structure, fastest at
+  (ops/pallas_particles.py) — same two-pass structure, built for
   multi-million N on real TPU hardware (TPU-only; grid dims must divide
-  8x8x8 tiles). The bench runs this engine.
+  8x8x8 tiles). The bench engine is whichever the committed BENCH_DEFAULT
+  marker names — written only from hardware measurements (bench.py).
 - "stream": ONE lax.sort per substep; liquid SDF + P2G as segmented scans
   over the sorted stream; G2P / RK2 stage 2 / solid pushback as row-gathers
   of stacked per-cell grid columns keyed by per-particle cell indices

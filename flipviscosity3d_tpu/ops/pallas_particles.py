@@ -69,23 +69,10 @@ def _split3(x):
     return x1, x2, x3
 
 
-def onehot_dot(onehot, vals, dims, onehot_left=True):
-    """dot_general where one operand is an exact 0/1 one-hot matrix.
-
-    The mixed-precision intent — a single bf16 pass on the 0/1 operand,
-    full f32 fidelity on the values — cannot be expressed as a per-operand
-    precision tuple: Mosaic rejects those on hardware
-    (NotImplementedError: Per-operand dot precision unsupported). Built
-    manually instead: the values operand splits into three bf16 terms
-    (_split3), each contracted against the bf16 one-hot in one native MXU
-    pass with f32 accumulation — 3 passes total vs HIGHEST/HIGHEST's 6-9,
-    reproducing the f32 products to ~2^-22. Interpret mode (CPU tests)
-    runs one exact f32 dot instead."""
-    if _interpret():
-        a, b = (onehot, vals) if onehot_left else (vals, onehot)
-        return jax.lax.dot_general(
-            a, b, dims, precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32)
+def onehot_dot_split3(onehot, vals, dims, onehot_left=True):
+    """The hardware 3-pass body of onehot_dot, callable on any backend
+    (plain JAX): vals splits into three bf16 terms (_split3), each
+    contracted against the bf16-cast one-hot with f32 accumulation."""
     oh = onehot.astype(jnp.bfloat16)
     out = None
     for term in _split3(vals):
@@ -94,6 +81,29 @@ def onehot_dot(onehot, vals, dims, onehot_left=True):
             a, b, dims, preferred_element_type=jnp.float32)
         out = d if out is None else out + d
     return out
+
+
+def onehot_dot(onehot, vals, dims, onehot_left=True):
+    """dot_general where one operand is an exact 0/1 one-hot matrix.
+
+    NOTE `dims` is interpreted against the POST-SWAP operand order: with
+    the default onehot_left=True it refers to (onehot, vals); with
+    onehot_left=False it refers to (vals, onehot) — author dims for the
+    order the operands actually take in the dot.
+
+    The mixed-precision intent — a single bf16 pass on the 0/1 operand,
+    full f32 fidelity on the values — cannot be expressed as a per-operand
+    precision tuple: Mosaic rejects those on hardware
+    (NotImplementedError: Per-operand dot precision unsupported). Built
+    manually instead (onehot_dot_split3): 3 native MXU passes vs
+    HIGHEST/HIGHEST's 6-9, reproducing the f32 products to ~2^-22.
+    Interpret mode (CPU tests) runs one exact f32 dot instead."""
+    if _interpret():
+        a, b = (onehot, vals) if onehot_left else (vals, onehot)
+        return jax.lax.dot_general(
+            a, b, dims, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+    return onehot_dot_split3(onehot, vals, dims, onehot_left)
 
 
 def check_grid(grid_shape) -> None:
@@ -527,7 +537,7 @@ def gather_rows(tabs, lockeys, cols_tm, n):
             jnp.int32, (W, C), 0).astype(jnp.float32)
         m1 = jnp.where(lk_ref[:] == sub_w, 1.0, 0.0)
         out_ref[0] += onehot_dot(
-            m1, cols_ref[0], (((0,), (0,)), ((), ())), onehot_left=True)
+            m1, cols_ref[0], (((0,), (0,)), ((), ())))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

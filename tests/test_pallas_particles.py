@@ -29,6 +29,40 @@ def make_sim(engine, res=16, seed_box=(0.2, 0.2, 0.2, 0.8, 0.55, 0.8),
     return sim
 
 
+def test_onehot_dot_split3_matches_f32():
+    """The HARDWARE path of onehot_dot (3-pass bf16 split) is plain JAX and
+    must run on CPU too: it has to match the exact f32 dot to ~2^-22
+    relative on random values, and bit-exactly on 0/1 one-hot operands."""
+    rng = np.random.default_rng(3)
+    oh = jnp.asarray(
+        (rng.integers(0, 8, size=(64, 96)) == 0).astype(np.float32))
+    vals = jnp.asarray(
+        rng.normal(size=(64, 48)).astype(np.float32) * 100.0)
+    dims = (((0,), (0,)), ((), ()))
+    exact = jax.lax.dot_general(
+        oh, vals, dims, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+    got = pp.onehot_dot_split3(oh, vals, dims)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(exact), rtol=3e-7, atol=1e-4)
+    # 0/1 values are bf16-exact in every split term -> bit-exact result
+    vals01 = jnp.asarray(
+        (rng.integers(0, 2, size=(64, 48))).astype(np.float32))
+    exact01 = jax.lax.dot_general(
+        oh, vals01, dims, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+    got01 = pp.onehot_dot_split3(oh, vals01, dims)
+    np.testing.assert_array_equal(np.asarray(got01), np.asarray(exact01))
+    # and the onehot_left=False orientation (post-swap dims order)
+    dims_r = (((1,), (0,)), ((), ()))
+    exact_r = jax.lax.dot_general(
+        vals.T, oh, dims_r, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+    got_r = pp.onehot_dot_split3(oh, vals.T, dims_r, onehot_left=False)
+    np.testing.assert_allclose(
+        np.asarray(got_r), np.asarray(exact_r), rtol=3e-7, atol=1e-4)
+
+
 def test_tile_key_roundtrip():
     shape = (16, 24, 32)
     rng = np.random.default_rng(0)

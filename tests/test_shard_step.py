@@ -107,6 +107,57 @@ def test_shard_step_multigrid_matches_single_device(scene):
     np.testing.assert_allclose(a, b, atol=5e-4)
 
 
+def test_migration_moves_particles(scene):
+    """Particles straddling a slab boundary with inbound velocity MUST
+    migrate: per-shard occupancy changes, the migration count is nonzero,
+    nothing is lost, and the cloud still matches the single-device engine.
+
+    This exercises the ppermute buffer machinery in shard_step._migrate
+    (the code the reference's serial particle loop never needs,
+    /root/reference/src/fluidsimulation.cpp:315-339)."""
+    cfg, state = scene
+    # uniform +x velocity: divergence-free in the interior, so the pressure
+    # projection preserves the bulk drift and particles cross slab faces
+    vel = np.zeros_like(np.asarray(state.vel))
+    vel[:, 0] = 2.0
+    state = state._replace(vel=jnp.asarray(vel))
+    cfg = dataclasses.replace(cfg)
+
+    mesh = Mesh(np.array(jax.devices()[:NDEV]), (sh.AXIS,))
+    spec = sh.make_spec(cfg, NDEV, n_particles=state.pos.shape[0])
+    ss = sh.shard_simstate(state, cfg, spec)
+    occ0 = np.asarray(ss.alive).sum(axis=1)
+
+    sstate = state
+    migrated_total = 0
+    for _ in range(3):
+        sstate, _ = step_mod.advance(sstate, 0.01, cfg)
+        occ_before = np.asarray(ss.alive).sum(axis=1)
+        ss, mdiag = sh.advance_sharded(ss, 0.01, cfg, spec, mesh)
+        assert int(mdiag.bucket_overflow) == 0  # no migration drops
+        occ_after = np.asarray(ss.alive).sum(axis=1)
+        migrated_total += int(np.abs(occ_after - occ_before).sum()) // 2
+
+    occ1 = np.asarray(ss.alive).sum(axis=1)
+    assert occ1.sum() == occ0.sum(), "particles lost in migration"
+    assert migrated_total > 0, (
+        f"no particles migrated (occupancy {occ0} -> {occ1}); the +x drift "
+        "must push particles across slab faces"
+    )
+    # ownership invariant: every alive particle sits inside its shard's rows
+    pos_sh = np.asarray(ss.pos)
+    alive_sh = np.asarray(ss.alive)
+    for s in range(NDEV):
+        xs = pos_sh[s, alive_sh[s], 0]
+        gi = np.floor(xs / cfg.dx).astype(int) // spec.B
+        np.testing.assert_array_equal(np.clip(gi, 0, NDEV - 1), s)
+    # and the cloud still matches the single-device engine
+    pos_m, _ = sh.gather_particles(ss)
+    a = np.sort(np.asarray(sstate.pos), axis=0)
+    b = np.sort(pos_m, axis=0)
+    np.testing.assert_allclose(a, b, atol=5e-4)
+
+
 def test_shard_step_inviscid(scene):
     """Inviscid path (viscosity cond off) also matches."""
     cfg, state = scene
