@@ -87,7 +87,10 @@ def build_buckets(
     new_run = jnp.concatenate(
         [jnp.ones((1,), bool), key_s[1:] != key_s[:-1]]
     )
-    run_start = lax.associative_scan(jnp.maximum, jnp.where(new_run, idx, 0))
+    # lax.cummax (one HLO op), NOT lax.associative_scan: the generic scan's
+    # log-depth slice/concat program makes this round's XLA hang in compile
+    # (>5 min at 4.1M, measured round 4) where cummax compiles in seconds.
+    run_start = lax.cummax(jnp.where(new_run, idx, 0))
     rank = idx - run_start
 
     ok = rank < capacity

@@ -302,8 +302,9 @@ def tiled_sort(pos, vel, dx, grid_shape) -> TiledStream:
     idx = jnp.arange(n, dtype=jnp.int32)
     new_run = jnp.concatenate(
         [jnp.ones((1,), bool), key_s[1:] != key_s[:-1]])
-    run_start = lax.associative_scan(
-        jnp.maximum, jnp.where(new_run, idx, 0))
+    # cummax, not associative_scan: the generic scan hangs this round's XLA
+    # compile at 4M elements (see ops/buckets.py note).
+    run_start = lax.cummax(jnp.where(new_run, idx, 0))
     rank = idx - run_start
 
     gi, gj, gk = decode_key(key_s, grid_shape)

@@ -72,7 +72,8 @@ def cell_runs(key_s, n_cells: int):
         idx, mode="drop", unique_indices=True
     )
     # fill empty cells: start[c] = min over c' >= c with a run
-    starts = lax.associative_scan(jnp.minimum, starts, reverse=True)
+    # (cummin, not associative_scan — see ops/buckets.py compile-hang note)
+    starts = lax.cummin(starts, reverse=True)
     counts = starts[1:] - starts[:-1]
     return new_run, starts, counts
 
@@ -100,30 +101,6 @@ def stream_sort_keys(
                           counts)
 
 
-def _segscan(values, key_s, combine):
-    """Keyed segmented inclusive scan of (N, S) values over sorted keys.
-
-    The classic keyed-scan operator: combine two partials iff they belong
-    to the same key run (associative for sorted keys). The segment marker
-    travels as the 1D int32 key array - NOT as a flag plane or an (N, 1)
-    column: TPU tiling pads a trailing dim of 1 to a full (8, 128) tile
-    (measured 128x expansion, 1.96 GB per temp at 4M particles), and both a
-    stacked flag column and a pre-broadcast (N, S) flag plane get
-    rematerialized inside the substep while-loop through an (N, 1) reshape,
-    OOMing the compile. Here the only 2D broadcast is eq[:, None] feeding a
-    select, which fuses.
-    """
-
-    def op(a, b):
-        ka, va = a
-        kb, vb = b
-        eq = ka == kb
-        v = jnp.where(eq[:, None], combine(va, vb), vb)
-        return kb, v
-
-    return lax.associative_scan(op, (key_s, values))[1]
-
-
 def segment_reduce(
     stream: ParticleStream,
     sums: Sequence[jnp.ndarray],
@@ -135,31 +112,28 @@ def segment_reduce(
     sums/mins: lists of (N,) float32 arrays. Returns (sum_cells, min_cells):
     lists of (n_cells,) arrays; empty cells reduce to 0 / min_default.
 
-    One segmented scan per family and ONE row-gather at the run ends (shared
-    index set) produce every quantity at once.
+    One (N, S) scatter-add and one (N, M) scatter-min over the sorted keys.
+    Earlier rounds used a keyed segmented associative_scan here; this round's
+    XLA hangs in compile on associative_scan at 4M elements (see
+    ops/buckets.py), and a cumsum-difference rewrite of the sums would lose
+    ~4M*eps to prefix cancellation, so plain scatters it is — same
+    accumulation semantics as the table engine. Dead/padding particles carry
+    key == n_cells, landing in the dropped guard row.
     """
     n_cells = stream.counts.shape[0]
-    outs = []
-    gathers = []
+    key = stream.key
+    sum_cells = []
+    min_cells = []
     if sums:
         stacked = jnp.stack(sums, axis=-1)  # (N, S)
-        gathers.append(_segscan(stacked, stream.key, lambda a, b: a + b))
+        out = jnp.zeros((n_cells, len(sums)), jnp.float32)
+        out = out.at[key].add(stacked, mode="drop")
+        sum_cells = [out[:, i] for i in range(len(sums))]
     if mins:
         stacked = jnp.stack(mins, axis=-1)
-        gathers.append(_segscan(stacked, stream.key, jnp.minimum))
-    # value of each run at its last element; empty cells masked after
-    ends = jnp.maximum(stream.starts[1:] - 1, 0)  # (n_cells,)
-    all_cols = jnp.concatenate(gathers, axis=-1) if len(gathers) > 1 else gathers[0]
-    rows = jnp.take(all_cols, ends, axis=0)  # (n_cells, S+M) row gather
-    occupied = stream.counts > 0
-    s = len(sums)
-    sum_cells = [
-        jnp.where(occupied, rows[:, i], 0.0) for i in range(s)
-    ]
-    min_cells = [
-        jnp.where(occupied, rows[:, s + i], min_default)
-        for i in range(len(mins))
-    ]
+        out = jnp.full((n_cells, len(mins)), min_default, jnp.float32)
+        out = out.at[key].min(stacked, mode="drop")
+        min_cells = [out[:, i] for i in range(len(mins))]
     return sum_cells, min_cells
 
 
