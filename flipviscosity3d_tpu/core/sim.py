@@ -92,40 +92,56 @@ class FluidSimulation:
 
     def add_liquid(self, mesh: TriangleMesh):
         """Seed 8 jittered particles per cell inside the mesh SDF and outside
-        solids (fluidsimulation.cpp:64-97)."""
+        solids (fluidsimulation.cpp:64-97).
+
+        Candidate generation, jitter, and the SDF tests all run ON DEVICE:
+        host->device transfer through the axon tunnel measures ~0.3 MB/s
+        (round 4), so the former host-side numpy path — 16.7M candidates =
+        ~200 MB at 128^3 — cost ~10 minutes of pure upload and looked like a
+        hang. Only per-block keep COUNTS cross to the host."""
         cfg = self.cfg
         self._assert_in_domain(mesh)
         mesh_sdf = mesh_to_sdf(mesh.vertices, mesh.triangles, cfg.grid_shape, cfg.dx)
 
-        i, j, k = np.meshgrid(
-            np.arange(cfg.isize), np.arange(cfg.jsize), np.arange(cfg.ksize),
-            indexing="ij",
-        )
-        base = np.stack([i, j, k], axis=-1).reshape(-1, 3).astype(np.float32)
-        base = np.repeat(base, cfg.particles_per_cell, axis=0) * cfg.dx
-        jitter = self._rng.uniform(
-            0.0, cfg.dx, size=base.shape
-        ).astype(np.float32)
-        pos = base + jitter
+        ppc = cfg.particles_per_cell
+        total = cfg.isize * cfg.jsize * cfg.ksize * ppc
+        # one host RNG draw keeps per-sim determinism (two sims constructed
+        # alike seed identically) without shipping jitter over the tunnel
+        seed = int(self._rng.integers(0, 2**31 - 1))
+        base_key = jax.random.PRNGKey(seed)
 
-        # evaluate SDFs blockwise: 8 samples/cell at 256^3 is 134M candidate
-        # positions, which overflows HBM if interpolated in one shot
-        sample = jax.jit(
-            lambda mphi, sphi, p: (
-                interp.trilinear(mphi, p, cfg.dx),
-                interp.trilinear(sphi, p, cfg.dx),
-            )
-        )
+        # blockwise: 8 samples/cell at 256^3 is 134M candidate positions,
+        # which overflows HBM if generated + interpolated in one shot
         block = 4_194_304
+
+        @jax.jit
+        def candidates(key, start, mphi, sphi):
+            q = start + jnp.arange(block)
+            cell = q // ppc
+            ci = cell // (cfg.jsize * cfg.ksize)
+            cj = (cell // cfg.ksize) % cfg.jsize
+            ck = cell % cfg.ksize
+            base = jnp.stack([ci, cj, ck], axis=-1).astype(jnp.float32)
+            jitter = jax.random.uniform(key, (block, 3), jnp.float32,
+                                        0.0, cfg.dx)
+            p = base * cfg.dx + jitter
+            phi_mesh = interp.trilinear(mphi, p, cfg.dx)
+            phi_solid = interp.trilinear(sphi, p, cfg.dx)
+            keep = (phi_mesh < 0) & (phi_solid >= 0) & (q < total)
+            return p, keep
+
         kept = []
-        for lo in range(0, len(pos), block):
-            chunk = pos[lo : lo + block]
-            phi_mesh, phi_solid = sample(
-                mesh_sdf.phi, self._solid_sdf.phi, jnp.asarray(chunk)
-            )
-            keep = np.asarray((phi_mesh < 0) & (phi_solid >= 0))
-            kept.append(chunk[keep])
-        self._particles_pos.append(np.concatenate(kept, axis=0))
+        for bi, lo in enumerate(range(0, total, block)):
+            p, keep = candidates(jax.random.fold_in(base_key, bi),
+                                 jnp.int32(lo), mesh_sdf.phi,
+                                 self._solid_sdf.phi)
+            count = int(keep.sum())
+            if count:
+                idx = jnp.nonzero(keep, size=count)[0]
+                kept.append(p[idx])
+        if kept:
+            self._particles_pos.append(
+                kept[0] if len(kept) == 1 else jnp.concatenate(kept, axis=0))
         self._state = None
 
     def set_viscosity(self, value):
@@ -182,12 +198,15 @@ class FluidSimulation:
         if self._state is None:
             cfg = self.cfg
             if self._particles_pos:
-                pos = np.concatenate(self._particles_pos, axis=0)
+                # entries are device arrays (add_liquid) or host numpy
+                # (readiness scripts poke _particles_pos directly)
+                arrs = [jnp.asarray(a) for a in self._particles_pos]
+                pos = arrs[0] if len(arrs) == 1 else jnp.concatenate(arrs, 0)
             else:
-                pos = np.zeros((0, 3), np.float32)
+                pos = jnp.zeros((0, 3), jnp.float32)
             self._state = SimState(
-                pos=jnp.asarray(pos),
-                vel=jnp.zeros_like(jnp.asarray(pos)),
+                pos=pos,
+                vel=jnp.zeros_like(pos),
                 u=jnp.zeros(cfg.u_shape, jnp.float32),
                 v=jnp.zeros(cfg.v_shape, jnp.float32),
                 w=jnp.zeros(cfg.w_shape, jnp.float32),

@@ -409,8 +409,8 @@ def _step_pallas(state: SimState, dt, cfg: SimConfig):
     )
 
     # ---------------- G2P + advection ----------------
-    cols_a = pp.to_tile_major(pp.build_mac_columns(
-        [u, saved_u], [v, saved_v], [w, saved_w], shape))
+    cols_a = pp.build_mac_columns(
+        [u, saved_u], [v, saved_v], [w, saved_w], shape)
     pay_a = jnp.concatenate(
         [stream.payload[0:3], stream.payload[7:10]], axis=0)
     gm = pp.gather_mac(
@@ -488,9 +488,9 @@ def _step_pallas(state: SimState, dt, cfg: SimConfig):
         plan_k = pp.plan_midpoint_visits(
             key_k, stream.n, shape,
             cfg.pallas_midpoint_budget, cfg.pallas_midpoint_factor)
-        cols_n = pp.pack_cols8(pp.to_tile_major(jnp.stack(
+        cols_n = pp.pack_cols8(pp.stack_tile_major(
             [c.reshape(shape) for c in st.node_corner_columns(
-                solid.phi, shape)], axis=-1)))
+                solid.phi, shape)], shape))
         corners = pp.gather_rows8(
             plan_k.tabs, plan_k.lockeys, cols_n, stream.n)
         ki, kj, kk = pp.decode_key(key_k, shape)

@@ -89,13 +89,24 @@ def _point_triangle_dist_sq(p, v1, v2, v3):
     return jnp.where(inside, d_in, d_out)
 
 
-@functools.partial(jax.jit, static_argnames=("chunk",))
-def _min_distance_block(points, tri_verts, chunk: int = 512):
-    """Exact min distance from one block of points to any triangle; scans
-    over triangle chunks so peak memory is O(len(points) * chunk)."""
+@functools.partial(
+    jax.jit, static_argnames=("node_shape", "dx", "chunk", "point_block"))
+def _min_distance_block(start, tri_verts, node_shape, dx, chunk, point_block):
+    """Exact min distance from one block of grid nodes to any triangle; scans
+    over triangle chunks so peak memory is O(point_block * chunk). Node
+    positions are generated IN the kernel from the flat start index — the
+    axon tunnel uploads at ~0.3 MB/s, so shipping a host-built point grid
+    costs minutes at 128^3+."""
     m = tri_verts.shape[0]
     n_chunks = m // chunk
     tv = tri_verts.reshape(n_chunks, chunk, 3, 3)
+
+    q = start + jnp.arange(point_block)
+    nj, nk = node_shape[1], node_shape[2]
+    pi = q // (nj * nk)
+    pj = (q // nk) % nj
+    pk = q % nk
+    points = jnp.stack([pi, pj, pk], axis=-1).astype(jnp.float32) * dx
 
     def body(carry, tri_chunk):
         d2 = _point_triangle_dist_sq(
@@ -108,24 +119,23 @@ def _min_distance_block(points, tri_verts, chunk: int = 512):
     return jnp.sqrt(best)
 
 
-def _min_distance_to_mesh(points, tri_verts, chunk: int = 512,
-                          point_block: int = 65536):
-    """Exact min distance from each point to any triangle.
+def _min_distance_grid(node_shape, dx, tri_verts, chunk: int = 512,
+                       point_block: int = 65536):
+    """Exact min distance from every grid node to any triangle; returns a
+    flat device array of length prod(node_shape).
 
     Loops point blocks on the host (one modest device program per block,
     setup-time only): a single device program over all 17M nodes of a 256^3
-    grid destabilized the tunneled TPU worker.
+    grid destabilized the tunneled TPU worker. Results stay on device.
     """
+    n = node_shape[0] * node_shape[1] * node_shape[2]
     out = []
-    n = points.shape[0]
     for lo in range(0, n, point_block):
-        out.append(
-            np.asarray(
-                _min_distance_block(points[lo : lo + point_block], tri_verts,
-                                    chunk=chunk)
-            )
-        )
-    return np.concatenate(out)
+        out.append(_min_distance_block(
+            jnp.int32(lo), tri_verts, node_shape, float(dx), chunk,
+            point_block))
+    dist = out[0] if len(out) == 1 else jnp.concatenate(out)
+    return dist[:n]
 
 
 # --------------------------------------------------------------------------
@@ -271,17 +281,12 @@ def mesh_to_sdf(vertices, triangles, grid_shape, dx, chunk: int = 512) -> MeshLe
         far = np.full((m_pad, 3, 3), 1e9, np.float32)
         tv = np.concatenate([tv, far], axis=0)
 
-    ii, jj, kk = np.meshgrid(
-        np.arange(node_shape[0]),
-        np.arange(node_shape[1]),
-        np.arange(node_shape[2]),
-        indexing="ij",
-    )
-    points = np.stack([ii, jj, kk], axis=-1).reshape(-1, 3).astype(np.float32) * dx
-    dist = _min_distance_to_mesh(points, jnp.asarray(tv), chunk=chunk)
+    dist = _min_distance_grid(node_shape, dx, jnp.asarray(tv), chunk=chunk)
     dist = dist.reshape(node_shape)
 
     counts = _column_crossing_counts(verts, tris, node_shape, dx)
-    inside = (np.cumsum(counts, axis=0) % 2) == 1
-    phi = np.where(inside, -dist, dist).astype(np.float32)
-    return MeshLevelSet(jnp.asarray(phi), float(dx))
+    # ship only the 1-byte parity mask over the slow tunnel; phi is composed
+    # on device from the device-resident distances
+    inside = ((np.cumsum(counts, axis=0) % 2) == 1).astype(np.uint8)
+    phi = jnp.where(jnp.asarray(inside).astype(bool), -dist, dist)
+    return MeshLevelSet(phi, float(dx))

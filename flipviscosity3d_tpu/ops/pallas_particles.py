@@ -333,6 +333,32 @@ def to_tile_major(x):
     return x.reshape(nt[0] * nt[1] * nt[2], W, f)
 
 
+def stack_tile_major(cols, grid_shape):
+    """F (I, J, K) column grids -> (n_tiles, W, F) tile-major image.
+
+    Stacks on a LEADING axis and relayouts with ONE 7D transpose. Never
+    stack grid-sized columns on a trailing axis: XLA materializes each
+    (I, J, K, 1) operand tile-padded 128x on this chip — the 108-column
+    trailing stack at 128^3 compiled to 109 GB of HLO temps and OOM'd the
+    16 GB HBM (hardware, round 4).
+
+    The optimization_barrier after the stack is load-bearing on the same
+    grounds: without it XLA sinks the downstream f-minor layout INTO the
+    concatenate, so every operand materializes as f32[1, nt,8, nt,8, nt,8]
+    with the size-1 f axis on the 128-lane dim — 128x padding again
+    (108 x 1 GB of HLO temps at 128^3, hardware, round 4). The barrier pins
+    the stacked (F, I, J, K) array to its natural K-minor layout; only the
+    single transpose after it pays the f-minor padding (f -> 128, <1.2x at
+    f=108)."""
+    f = len(cols)
+    nt = tile_counts(grid_shape)
+    x = jnp.stack(cols, axis=0)  # (F, I, J, K): no trailing-1 padding
+    x = lax.optimization_barrier(x)
+    x = x.reshape(f, nt[0], TILE[0], nt[1], TILE[1], nt[2], TILE[2])
+    x = x.transpose(1, 3, 5, 2, 4, 6, 0)
+    return x.reshape(nt[0] * nt[1] * nt[2], W, f)
+
+
 def from_tile_major(y, grid_shape):
     """(n_tiles, W, F) -> (I, J, K, F)."""
     f = y.shape[-1]
@@ -563,9 +589,11 @@ def gather_rows(tabs, lockeys, cols_tm, n):
 # ---------------------------------------------------------------------------
 
 def build_mac_columns(grids_u, grids_v, grids_w, grid_shape):
-    """(I,J,K,F) stacked per-cell columns: for each comp, each grid of that
-    comp, the 18 window offsets (p2g_abs_offset layout). Matches
-    ops/stream_transfers.sample_mac_at's column set."""
+    """(n_tiles, W, F) TILE-MAJOR per-cell columns: for each comp, each grid
+    of that comp, the 18 window offsets (p2g_abs_offset layout). Matches
+    ops/stream_transfers.sample_mac_at's column set. Returns the tile-major
+    image directly (see stack_tile_major for why no (I,J,K,F) intermediate
+    exists)."""
     from .grids import shifted_read
 
     comp_grids = (grids_u, grids_v, grids_w)
@@ -575,7 +603,7 @@ def build_mac_columns(grids_u, grids_v, grids_w, grid_shape):
             for oidx in range(18):
                 o = p2g_abs_offset(comp, oidx)
                 cols.append(shifted_read(g, o, grid_shape))
-    return jnp.stack(cols, axis=-1)
+    return stack_tile_major(cols, grid_shape)
 
 
 def combine_mac_samples(rows, px, py, pz, keys, dx, grid_shape, n_grids,

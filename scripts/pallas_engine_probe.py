@@ -46,13 +46,17 @@ def timed(name, fn, *args, reps=5):
 
 
 def main():
-    rng = np.random.default_rng(0)
+    # ALL test data is generated ON-DEVICE (jax.random): the axon tunnel
+    # uploads at ~0.3 MB/s (measured round 4 — 146 s for one 49 MB array),
+    # so numpy+jnp.asarray data setup costs minutes per operand and looks
+    # like a hang. Download (~20 MB/s) is fine for small verification pulls.
+    k = jax.random.split(jax.random.PRNGKey(0), 8)
     # bench-like pool: bottom quarter of the box, ~2 particles/cell avg
-    pos = rng.uniform(
-        [0.02, 0.02, 0.02], [0.98, 0.27, 0.98], (N, 3)).astype(np.float32)
-    vel = rng.standard_normal((N, 3)).astype(np.float32) * 0.1
-    pos_j = jnp.asarray(pos)
-    vel_j = jnp.asarray(vel)
+    lo = jnp.array([0.02, 0.02, 0.02], jnp.float32)
+    hi = jnp.array([0.98, 0.27, 0.98], jnp.float32)
+    pos_j = jax.random.uniform(k[0], (N, 3), jnp.float32) * (hi - lo) + lo
+    vel_j = jax.random.normal(k[1], (N, 3), jnp.float32) * 0.1
+    pos_j.ravel()[0].item()
     print(f"N={N} res={RES} backend={jax.default_backend()}", flush=True)
 
     total = 0.0
@@ -96,10 +100,10 @@ def main():
     _, ms = timed("p2g_combine", comb_fn, sums)
     total += ms
 
-    grids = [jnp.asarray(rng.standard_normal(SHAPE).astype(np.float32))
-             for _ in range(6)]
-    cols_fn = jax.jit(lambda g0, g1, g2, g3, g4, g5: pp.to_tile_major(
-        pp.build_mac_columns([g0, g1], [g2, g3], [g4, g5], SHAPE)))
+    grids = [jax.random.normal(jax.random.fold_in(k[2], i), SHAPE,
+                               jnp.float32) for i in range(6)]
+    cols_fn = jax.jit(lambda g0, g1, g2, g3, g4, g5: pp.build_mac_columns(
+        [g0, g1], [g2, g3], [g4, g5], SHAPE))
     cols_a, ms = timed("build+tile cols (A, 108)", cols_fn, *grids)
     total += ms
 
@@ -112,8 +116,10 @@ def main():
     total += ms
 
     # pass B: midpoint shift <= 2.5 cells
-    mid = pos + rng.uniform(-2.5 * DX, 2.5 * DX, (N, 3)).astype(np.float32)
-    mid_j = jnp.asarray(np.clip(mid, 0.001, 0.999))
+    mid_j = jnp.clip(
+        pos_j + jax.random.uniform(
+            k[3], (N, 3), jnp.float32, -2.5 * DX, 2.5 * DX),
+        0.001, 0.999)
     sortb_fn = jax.jit(lambda m, px, py, pz: pp.sort_by_key(
         pp.key_of_position(m, DX, SHAPE),
         (m[:, 0], m[:, 1], m[:, 2], px, py, pz,
@@ -123,8 +129,8 @@ def main():
         stream.sorted[0], stream.sorted[1], stream.sorted[2])
     total += ms
 
-    colsb_fn = jax.jit(lambda g0, g1, g2: pp.to_tile_major(
-        pp.build_mac_columns([g0], [g1], [g2], SHAPE)))
+    colsb_fn = jax.jit(lambda g0, g1, g2: pp.build_mac_columns(
+        [g0], [g1], [g2], SHAPE))
     cols_b, ms = timed("build+tile cols (B, 54)", colsb_fn, *grids[0:3])
     total += ms
 
@@ -142,9 +148,11 @@ def main():
     # ---- pass B WITHOUT the sort: midpoint visit plan over pass-A order.
     # The midpoints here must follow the pass-A ORDERING (sorted positions
     # + jitter), unlike the sort path above which re-orders them itself.
-    midA = np.stack([np.asarray(stream.sorted[a]) for a in range(3)], axis=1)
-    midA = midA + rng.uniform(-2.5 * DX, 2.5 * DX, (N, 3)).astype(np.float32)
-    midA_j = jnp.asarray(np.clip(midA, 0.001, 0.999))
+    midA_j = jnp.clip(
+        jnp.stack([stream.sorted[a] for a in range(3)], axis=1)
+        + jax.random.uniform(
+            k[4], (N, 3), jnp.float32, -2.5 * DX, 2.5 * DX),
+        0.001, 0.999)
     planm_fn = jax.jit(lambda m: pp.plan_midpoint_visits(
         pp.key_of_position(m, DX, SHAPE), N, SHAPE))
     plan_m, ms_plan = timed("plan_midpoint_visits (B')", planm_fn, midA_j)
@@ -166,8 +174,8 @@ def main():
     from flipviscosity3d_tpu.ops import stream_transfers as st
     from flipviscosity3d_tpu.ops.buckets import cell_of_position
 
-    phi_node = jnp.asarray(
-        rng.standard_normal((RES + 1, RES + 1, RES + 1)).astype(np.float32))
+    phi_node = jax.random.normal(
+        k[5], (RES + 1, RES + 1, RES + 1), jnp.float32)
     cp = jnp.stack([stream.sorted[0], stream.sorted[1], stream.sorted[2]],
                    axis=1)
     pbg_fn = jax.jit(lambda p, ph: st.solid_pushback_at(
@@ -178,9 +186,9 @@ def main():
     def pb_kernel(p, ph):
         key_k = pp.key_of_position(p, DX, SHAPE)
         plan_k = pp.plan_midpoint_visits(key_k, N, SHAPE)
-        cols_n = pp.pack_cols8(pp.to_tile_major(jnp.stack(
+        cols_n = pp.pack_cols8(pp.stack_tile_major(
             [c.reshape(SHAPE)
-             for c in st.node_corner_columns(ph, SHAPE)], axis=-1)))
+             for c in st.node_corner_columns(ph, SHAPE)], SHAPE))
         rows8 = pp.gather_rows8(plan_k.tabs, plan_k.lockeys, cols_n, N)
         ki, kj, kk = pp.decode_key(key_k, SHAPE)
         return st.pushback_from_corners(

@@ -94,6 +94,10 @@ def test_tile_major_layout_roundtrip():
     np.testing.assert_array_equal(
         np.asarray(flat[np.asarray(keys).reshape(-1)]),
         np.asarray(x.reshape(-1, 3)))
+    # the leading-stack builder produces the identical layout (it exists to
+    # avoid the 128x trailing-1 tile padding of jnp.stack(..., -1) at scale)
+    y2 = pp.stack_tile_major([x[..., f] for f in range(3)], shape)
+    np.testing.assert_array_equal(np.asarray(y2), np.asarray(y))
 
 
 def test_scatter_matches_table_engine():
@@ -219,8 +223,7 @@ def test_gather_mac_matches_unfused():
 
     grids = [jnp.asarray(rng.standard_normal(shape).astype(np.float32))
              for _ in range(6)]
-    cols = pp.to_tile_major(pp.build_mac_columns(
-        grids[0:2], grids[2:4], grids[4:6], shape))
+    cols = pp.build_mac_columns(grids[0:2], grids[2:4], grids[4:6], shape)
 
     rows = pp.gather_rows(stream.plan.tabs, stream.plan.lockeys, cols, n)
     want = pp.combine_mac_samples(
@@ -260,8 +263,7 @@ def test_midpoint_plan_matches_sorted_gather():
 
     grids = [jnp.asarray(rng.standard_normal(shape).astype(np.float32))
              for _ in range(3)]
-    cols = pp.to_tile_major(pp.build_mac_columns(
-        grids[0:1], grids[1:2], grids[2:3], shape))
+    cols = pp.build_mac_columns(grids[0:1], grids[1:2], grids[2:3], shape)
 
     # oracle: re-sort by the midpoint key, gather, un-sort
     order = jnp.argsort(key_m, stable=True)
@@ -299,10 +301,10 @@ def test_midpoint_plan_budget_fallback():
     m = jnp.asarray(rng.random((n, 3), np.float32) * 0.9 + 0.05)
     key_m = pp.key_of_position(m, dx, shape)
 
-    cols = pp.to_tile_major(pp.build_mac_columns(
+    cols = pp.build_mac_columns(
         [jnp.asarray(rng.standard_normal(shape).astype(np.float32))],
         [jnp.zeros(shape, jnp.float32)], [jnp.zeros(shape, jnp.float32)],
-        shape))
+        shape)
     plan_m = pp.plan_midpoint_visits(key_m, n, shape, budget=2, factor=1.5)
     cov = np.asarray(plan_m.covered)
     assert 0 < cov.sum() < n  # wild midpoints must overflow budget=2
