@@ -76,11 +76,17 @@ def run(engine: str, frames: int | None = None, quiet: bool = False) -> float:
     print("# compile+first frame done", file=sys.stderr, flush=True)
 
     substeps = 0
+    overflow = 0
     t0 = time.perf_counter()
     for _ in range(frames):
         diag = sim.advance(dt)
         substeps += int(diag.substeps)  # .item() sync inside int()
+        overflow += int(diag.bucket_overflow)
     wall = time.perf_counter() - t0
+    print(f"# engine={engine} substeps={substeps} "
+          f"bucket_overflow={overflow} "
+          f"({overflow / max(substeps, 1) / n_particles:.2%} of "
+          "particle-passes/substep)", file=sys.stderr, flush=True)
 
     steps_per_sec = substeps / wall
     if not quiet:

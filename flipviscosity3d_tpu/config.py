@@ -99,15 +99,19 @@ class SimConfig:
     # FluidSimulation.advance raise as soon as a frame reports overflow > 0.
     on_bucket_overflow: str = "fallback"
 
-    # Pallas-engine pass B. "plan" (default): keep pass-A ordering and
-    # gather the RK2 stage-2 samples through a midpoint visit plan
-    # (ops/pallas_particles.plan_midpoint_visits) — no second sort; chunks
-    # whose midpoints touch more than pallas_midpoint_budget distinct
-    # tiles (or blow the factor*n_chunks visit capacity) fall back to
-    # ballistic advection, counted as bucket_overflow. "sort": re-sort by
-    # the midpoint key (the round-2 path; exact, ~70-90 ms/substep slower
-    # at 4M particles).
-    pallas_pass_b: str = "plan"
+    # Pallas-engine pass B. "sort" (default, measured round 4): re-sort by
+    # the midpoint key — exact, no fallback. Measured on hardware at
+    # 128^3/4.1M: the sort path benches 2.25 steps/s vs the plan path's
+    # 2.04 (the plan's extra ~1.7x gather visits cost more than the
+    # 10-operand sort it saves, now that lax.sort runs ~38 ms after the
+    # cummax fix). "plan": keep pass-A ordering and gather the RK2 stage-2
+    # samples through a midpoint visit plan (plan_midpoint_visits) — no
+    # second sort; chunks whose midpoints touch more than
+    # pallas_midpoint_budget distinct tiles (or blow the factor*n_chunks
+    # visit capacity) fall back to ballistic advection, counted as
+    # bucket_overflow (measured 346 of 24.7M particle-substeps = 0.001%
+    # at bench scale).
+    pallas_pass_b: str = "sort"
     pallas_midpoint_budget: int = 8
     pallas_midpoint_factor: float = 3.0
 

@@ -395,10 +395,10 @@ def _step_pallas(state: SimState, dt, cfg: SimConfig):
     spx, spy, spz = stream.sorted[0], stream.sorted[1], stream.sorted[2]
     svx, svy, svz = stream.sorted[3], stream.sorted[4], stream.sorted[5]
 
-    out = pp.scatter_p2g_table(
+    sums, tbl = pp.scatter_p2g_table(
         stream.plan.tabs, stream.plan.lockeys, stream.payload,
         shape, dx, cap)
-    sums, tbl_fields = pp.split_scatter_output(out, shape, cap)
+    tbl_fields = pp.table_fields(tbl, shape, cap)
     liquid_phi = pp.liquid_sdf_from_fields(
         tbl_fields, shape, dx, cfg.particle_radius, solid.center_phi)
     p2g_sums = pp.p2g_combine(

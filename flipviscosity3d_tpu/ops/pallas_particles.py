@@ -439,33 +439,52 @@ def _scatter_chunk_values(data, local, dx, cap):
                   jnp.where(f_ == 1, py, jnp.where(f_ == 2, pz, 1.0))),
         0.0,
     )
-    return m1, jnp.concatenate([wgt, wv, rv], axis=0)
+    return m1, jnp.concatenate([wgt, wv], axis=0), rv
 
 
 @functools.partial(
     jax.jit, static_argnames=("grid_shape", "dx", "cap"))
 def scatter_p2g_table(tabs, lockeys, payload, grid_shape, dx, cap):
-    """-> (n_tiles, W, N_P2G + cap*4) per-cell sums + expanded table.
+    """-> (sums (I, J, K, N_P2G), table (n_tiles, W, cap*4)).
 
     One grid step per (chunk, tile) visit: the chunk payload and the tile
     accumulator are both selected by prefetched index maps; the one-hot
     matmul adds the chunk's contribution. Particle-free tiles are zeroed by
-    the plan's empty-tile visits, so no occupancy-mask pass runs after."""
+    the plan's empty-tile visits, so no occupancy-mask pass runs after.
+
+    The P2G sums are written in STANDARD (I, J, K, F) layout straight from
+    the kernel: the (W, F) accumulator value reshapes to (8, 8, 8, F)
+    without data movement (identical linearization), and the 4D out
+    BlockSpec decodes the visit's tile id in its index map. This deletes
+    the 108-lane share of the old from_tile_major relayout (37.4 ms
+    measured for 172 lanes at 128^3, ~11x its traffic floor — hardware,
+    round 4). The SDF table stays tile-major: its consumer wants
+    (cap, n_cells) slot-major rows, which no block mapping of this kernel
+    can emit, so it pays a 64-lane relayout in table_fields instead."""
     nv = lockeys.shape[1] // C
     nt = tile_counts(grid_shape)
     n_tiles = nt[0] * nt[1] * nt[2]
-    n_cols = N_P2G + cap * 4
     dxf = float(dx)
+    cap4 = cap * 4
 
-    def kernel(tabs_ref, lk_ref, pay_ref, out_ref):
+    def kernel(tabs_ref, lk_ref, pay_ref, sums_ref, tbl_ref):
         v = pl.program_id(0)
 
         @pl.when((tabs_ref[v] & FLAG_TILE) != 0)
         def _zero():
-            out_ref[:] = jnp.zeros_like(out_ref)
+            sums_ref[:] = jnp.zeros_like(sums_ref)
+            tbl_ref[:] = jnp.zeros_like(tbl_ref)
 
-        m1, vals = _scatter_chunk_values(pay_ref[:], lk_ref[:], dxf, cap)
-        out_ref[0] += onehot_dot(m1, vals, (((1,), (1,)), ((), ())))
+        m1, wv, rv = _scatter_chunk_values(pay_ref[:], lk_ref[:], dxf, cap)
+        dims = (((1,), (1,)), ((), ()))
+        sums_ref[...] += onehot_dot(m1, wv, dims).reshape(
+            TILE[0], TILE[1], TILE[2], N_P2G)
+        tbl_ref[0] += onehot_dot(m1, rv, dims)
+
+    def sums_idx(v, t):
+        tile = t[v] & TV_MASK
+        return (tile // (nt[1] * nt[2]), (tile // nt[2]) % nt[1],
+                tile % nt[2], 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -474,29 +493,32 @@ def scatter_p2g_table(tabs, lockeys, payload, grid_shape, dx, cap):
             pl.BlockSpec((1, C), lambda v, t: (0, v)),
             pl.BlockSpec((NPAY, C), lambda v, t: (0, t[nv + v])),
         ],
-        out_specs=pl.BlockSpec(
-            (1, W, n_cols), lambda v, t: (t[v] & TV_MASK, 0, 0)),
+        out_specs=[
+            pl.BlockSpec((TILE[0], TILE[1], TILE[2], N_P2G), sums_idx),
+            pl.BlockSpec((1, W, cap4), lambda v, t: (t[v] & TV_MASK, 0, 0)),
+        ],
     )
     return pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n_tiles, W, n_cols), jnp.float32),
+        out_shape=[
+            jax.ShapeDtypeStruct(tuple(grid_shape) + (N_P2G,), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, W, cap4), jnp.float32),
+        ],
         grid_spec=grid_spec,
         interpret=_interpret(),
     )(tabs, lockeys, payload)
 
 
-def split_scatter_output(out, grid_shape, cap):
-    """(n_tiles, W, N_P2G+cap*4) -> (sums (I,J,K,108),
-    table fields [(cap, n_cells) px,py,pz] with FAR empties)."""
-    std = from_tile_major(out, grid_shape)  # (I, J, K, n_cols)
-    sums = std[..., :N_P2G]
+def table_fields(tbl_tm, grid_shape, cap):
+    """(n_tiles, W, cap*4) expanded table -> [(cap, n_cells) px,py,pz]
+    with FAR empties (the liquid-SDF sweep's slot-major layout)."""
     n_cells = grid_shape[0] * grid_shape[1] * grid_shape[2]
-    tbl = std[..., N_P2G:].reshape(*grid_shape, cap, 4)
+    std = from_tile_major(tbl_tm, grid_shape)  # (I, J, K, cap*4)
+    tbl = std.reshape(*grid_shape, cap, 4)
     tbl = jnp.moveaxis(tbl, 3, 0).reshape(cap, n_cells, 4)
     occ = tbl[..., 3] > 0.5
-    fields = tuple(
+    return tuple(
         jnp.where(occ, tbl[..., f], FAR) for f in range(3))
-    return sums, fields
 
 
 def p2g_combine(sums, grid_shape, face_shapes):

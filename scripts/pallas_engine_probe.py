@@ -80,13 +80,13 @@ def main():
 
     scat_fn = jax.jit(lambda t, lk, pay: pp.scatter_p2g_table(
         t, lk, pay, SHAPE, DX, CAP))
-    out, ms = timed("scatter_p2g_table", scat_fn,
-                    stream.plan.tabs, stream.plan.lockeys, stream.payload)
+    (sums, tbl), ms = timed("scatter (sums direct 4D)", scat_fn,
+                            stream.plan.tabs, stream.plan.lockeys,
+                            stream.payload)
     total += ms
 
-    split_fn = jax.jit(
-        lambda o: pp.split_scatter_output(o, SHAPE, CAP))
-    (sums, fields), ms = timed("split_scatter_output", split_fn, out)
+    split_fn = jax.jit(lambda o: pp.table_fields(o, SHAPE, CAP))
+    fields, ms = timed("table_fields (64-lane relayout)", split_fn, tbl)
     total += ms
 
     solid_phi = jnp.full(SHAPE, 1.0, jnp.float32)

@@ -122,11 +122,10 @@ def test_scatter_matches_table_engine():
     )
 
     stream = pp.tiled_sort(state.pos, state.vel, cfg_t.dx, cfg_t.grid_shape)
-    out = pp.scatter_p2g_table(
+    sums, tbl = pp.scatter_p2g_table(
         stream.plan.tabs, stream.plan.lockeys, stream.payload,
         cfg_t.grid_shape, cfg_t.dx, cfg_t.bucket_capacity)
-    sums, fields = pp.split_scatter_output(
-        out, cfg_t.grid_shape, cfg_t.bucket_capacity)
+    fields = pp.table_fields(tbl, cfg_t.grid_shape, cfg_t.bucket_capacity)
     phi_p = pp.liquid_sdf_from_fields(
         fields, cfg_t.grid_shape, cfg_t.dx, cfg_t.particle_radius,
         state.solid.center_phi)
