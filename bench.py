@@ -52,6 +52,8 @@ def run(engine: str, frames: int | None = None, quiet: bool = False) -> float:
         overrides["pallas_pushback"] = os.environ["BENCH_PUSHBACK"]
     if os.environ.get("BENCH_SDF_CAPACITY"):
         overrides["sdf_capacity"] = int(os.environ["BENCH_SDF_CAPACITY"])
+    if os.environ.get("BENCH_MG_DTYPE"):        # mg A/B: f32 | bf16
+        overrides["mg_operator_dtype"] = os.environ["BENCH_MG_DTYPE"]
     sim.initialize(res, res, res, 1.0 / res, bucket_capacity=cap,
                    particle_engine=engine, **overrides)
 
@@ -86,7 +88,10 @@ def run(engine: str, frames: int | None = None, quiet: bool = False) -> float:
     print(f"# engine={engine} substeps={substeps} "
           f"bucket_overflow={overflow} "
           f"({overflow / max(substeps, 1) / n_particles:.2%} of "
-          "particle-passes/substep)", file=sys.stderr, flush=True)
+          f"particle-passes/substep) last-frame iters: "
+          f"pressure={int(diag.pressure_iterations)} "
+          f"viscosity={int(diag.viscosity_iterations)}",
+          file=sys.stderr, flush=True)
 
     steps_per_sec = substeps / wall
     if not quiet:

@@ -123,6 +123,17 @@ class SimConfig:
     # stays "gather" until the kernel path is measured on hardware.
     pallas_pushback: str = "gather"
 
+    # Storage dtype for the fused Pallas V-cycle's OPERATOR arrays
+    # (diag + 3 links). "bf16" halves their share of the bandwidth-bound
+    # cycle's DMA traffic; the kernels upcast to f32 before arithmetic, so
+    # the only change is the operator's own rounding — a fixed linear
+    # M-tilde, still a valid CG preconditioner. "f32" is exact. Applies to
+    # the Pallas backend only (the XLA cycle keeps f32 levels).
+    # Measured on hardware (128^3/4.1M bench, round 4): bf16 2.668 steps/s
+    # vs f32 2.551 with IDENTICAL iteration counts (pressure 21,
+    # viscosity 24) — the cycle is bandwidth-bound, as the roofline said.
+    mg_operator_dtype: str = "bf16"
+
     # Safety bound on CFL substeps per advance() call (reference has no cap;
     # its while-loop runs until t reaches dt).
     max_substeps: int = 64

@@ -133,7 +133,10 @@ def _down_kernel(omega, *refs):
      l2_p, l2_c, l2_n, b_p, b_c, b_n, x_out, rc_out) = refs
 
     def ext(p, c, n):
-        return jnp.concatenate([p[0, -1:], c[0], n[0, :1]], axis=0)
+        # operator refs may be stored bf16 (half the DMA traffic of the
+        # bandwidth-bound cycle); all arithmetic stays f32
+        return jnp.concatenate(
+            [p[0, -1:], c[0], n[0, :1]], axis=0).astype(jnp.float32)
 
     de = ext(d_p, d_c, d_n)
     be = ext(b_p, b_c, b_n)
@@ -154,7 +157,9 @@ def _up_kernel(omega, scale, *refs):
      xc_p, xc_c, xc_n, x_out) = refs
 
     def ext(p, c, n):
-        return jnp.concatenate([p[0, -1:], c[0], n[0, :1]], axis=0)
+        # bf16 operator refs upcast once; see _down_kernel
+        return jnp.concatenate(
+            [p[0, -1:], c[0], n[0, :1]], axis=0).astype(jnp.float32)
 
     de = ext(d_p, d_c, d_n)
     be = ext(b_p, b_c, b_n)
@@ -183,9 +188,13 @@ def _specs(nb, nblocks, bi, nj, nk, deltas):
     return out
 
 
-def pad_level(diag, links, bi=BI):
+def pad_level(diag, links, bi=BI, dtype=jnp.float32):
     """Pad a level's arrays for the kernels: batch axis (add if missing),
     bi front rows + back rows to a multiple of bi on i, j/k to even.
+    `dtype=bfloat16` stores the padded OPERATOR in half precision — the
+    cycle is bandwidth-bound, and the kernels upcast to f32 before any
+    arithmetic, so this only perturbs the preconditioner by the operator's
+    rounding (a fixed linear M-tilde; CG stays plain CG).
 
     Links on the last REAL index of their own axis are zeroed: in the real
     (unpadded) operator they only ever multiply an out-of-range x (= 0), but
@@ -203,7 +212,7 @@ def pad_level(diag, links, bi=BI):
         back = (-(ni % -bi)) + bi  # to multiple of bi, plus one spare block
         return jnp.pad(
             a, ((0, 0), (bi, back), (0, nj % 2), (0, nk % 2))
-        )
+        ).astype(dtype)
     return prep(diag), tuple(
         prep(l, edge_axis=ax) for ax, l in enumerate(links)
     )

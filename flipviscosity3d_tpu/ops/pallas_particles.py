@@ -360,12 +360,42 @@ def stack_tile_major(cols, grid_shape):
 
 
 def from_tile_major(y, grid_shape):
-    """(n_tiles, W, F) -> (I, J, K, F)."""
+    """(n_tiles, W, F) -> (I, J, K, F) (XLA transpose; see detile)."""
     f = y.shape[-1]
     nt = tile_counts(grid_shape)
     y = y.reshape(nt[0], nt[1], nt[2], TILE[0], TILE[1], TILE[2], f)
     y = y.transpose(0, 3, 1, 4, 2, 5, 6)
     return y.reshape(grid_shape[0], grid_shape[1], grid_shape[2], f)
+
+
+def detile(y, grid_shape):
+    """(n_tiles, W, F) -> (I, J, K, F) as a Pallas copy kernel.
+
+    XLA lowers from_tile_major's 7D transpose at ~18 ns per CELL on this
+    chip — 38 ms at 128^3, identical for 64 and 172 lanes (hardware,
+    round 4) — while the actual traffic is worth ~1-3 ms. Here each tile
+    is one grid step: the input block is the tile's (W, F) rows, the
+    output block the (8, 8, 8, F) cube, and the (W, F) -> (8, 8, 8, F)
+    reshape is metadata-only (identical linearization), so the kernel is
+    a pure block copy at DMA speed."""
+    f = y.shape[-1]
+    nt = tile_counts(grid_shape)
+
+    def kernel(x_ref, o_ref):
+        o_ref[...] = x_ref[0].reshape(TILE[0], TILE[1], TILE[2], f)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(nt[0], nt[1], nt[2]),
+        in_specs=[pl.BlockSpec(
+            (1, W, f),
+            lambda i, j, k: ((i * nt[1] + j) * nt[2] + k, 0, 0))],
+        out_specs=pl.BlockSpec(
+            (TILE[0], TILE[1], TILE[2], f), lambda i, j, k: (i, j, k, 0)),
+        out_shape=jax.ShapeDtypeStruct(
+            tuple(grid_shape) + (f,), y.dtype),
+        interpret=_interpret(),
+    )(y)
 
 
 # ---------------------------------------------------------------------------
@@ -513,7 +543,7 @@ def table_fields(tbl_tm, grid_shape, cap):
     """(n_tiles, W, cap*4) expanded table -> [(cap, n_cells) px,py,pz]
     with FAR empties (the liquid-SDF sweep's slot-major layout)."""
     n_cells = grid_shape[0] * grid_shape[1] * grid_shape[2]
-    std = from_tile_major(tbl_tm, grid_shape)  # (I, J, K, cap*4)
+    std = detile(tbl_tm, grid_shape)  # (I, J, K, cap*4)
     tbl = std.reshape(*grid_shape, cap, 4)
     tbl = jnp.moveaxis(tbl, 3, 0).reshape(cap, n_cells, 4)
     occ = tbl[..., 3] > 0.5
@@ -969,12 +999,15 @@ def plan_midpoint_visits(key_m, n: int, grid_shape, budget: int = 8,
         [jnp.ones((1,), bool), cv[1:] != cv[:-1]])
 
     # ---- per-particle coverage (tiles are ascending, so the particle's
-    # extraction slot is a rank count) ----
+    # extraction slot is a rank count). `hit` is a broadcast OR over the
+    # budget lanes, NOT take_along_axis: a per-element gather of the
+    # (n_chunks, C) slot indices costs ~8 ns/element on this chip — 34 of
+    # plan_midpoint_visits' 41 ms at 4.1M (hardware, round 4) ----
     slot = jnp.zeros(tm.shape, jnp.int32)
+    hit = jnp.zeros(tm.shape, bool)
     for bb in range(budget):
         slot = slot + (tiles[:, bb:bb + 1] < tm).astype(jnp.int32)
-    hit = jnp.take_along_axis(
-        tiles, jnp.minimum(slot, budget - 1), axis=1) == tm
+        hit = hit | (tiles[:, bb:bb + 1] == tm)
     placed = off[:-1][:, None] + slot < nv
     covered = (hit & (slot < budget) & placed & (kmr != _IMAX))
     covered = covered.reshape(-1)[:n]

@@ -107,15 +107,36 @@ def _pad_to_even(a):
     return a
 
 
+def _half_onehot(n, dtype):
+    """(n, n//2) 0/1 matrix M[j, m] = 1 where j//2 == m."""
+    j = jax.lax.broadcasted_iota(jnp.int32, (n, n // 2), 0)
+    m = jax.lax.broadcasted_iota(jnp.int32, (n, n // 2), 1)
+    return (j // 2 == m).astype(dtype)
+
+
 def _pool_sum(a):
-    """2x2x2 sum pooling = R (restriction) for piecewise-constant aggregates."""
+    """2x2x2 sum pooling = R (restriction) for piecewise-constant aggregates.
+
+    The two MINOR axes pool via one-hot MXU contractions, not reshape+sum:
+    a reshape that splits a tiled (8,128) dim forces a retile copy —
+    measured ~4 ms per (3,130,130,130) operand at 128^3 on hardware, and
+    the per-substep Galerkin coarsening does seven of them (~27 ms/substep
+    before this change). Two successive dots restore the axis order with
+    no tiled-dim transpose (contract j -> (..., i/2, k, j/2), then the
+    now-minor k -> (..., i/2, j/2, k/2)); the major i axis reshapes for
+    free. HIGHEST keeps the f32 sums exact (the one-hot is 0/1)."""
     a = _pad_to_even(a)
     s = a.shape
     lead = s[:-3]
     i, j, k = s[-3], s[-2], s[-1]
-    return a.reshape(lead + (i // 2, 2, j // 2, 2, k // 2, 2)).sum(
-        axis=(-5, -3, -1)
-    )
+    a = a.reshape(lead + (i // 2, 2, j, k)).sum(axis=-3)
+    for n in (j, k):
+        a = jax.lax.dot_general(
+            a, _half_onehot(n, a.dtype),
+            (((a.ndim - 2,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    return a
 
 
 def _prolong(a, fine_spatial):
@@ -259,8 +280,11 @@ def build_hierarchy(diag, links, cfg) -> MGHierarchy:
         # VMEM; bi=4 fits up to ~128^2 planes, larger planes drop to bi=2
         fine = levels[0].diag.shape
         bi = 4 if fine[-2] * fine[-1] <= 128 * 128 else 2
+        op_dtype = (jnp.bfloat16 if cfg.mg_operator_dtype == "bf16"
+                    else jnp.float32)
         padded = (bi, tuple(
-            pallas_mg.pad_level(lv.diag, lv.links, bi) for lv in levels[:-1]
+            pallas_mg.pad_level(lv.diag, lv.links, bi, dtype=op_dtype)
+            for lv in levels[:-1]
         ))
     return MGHierarchy(tuple(levels), inv, padded)
 

@@ -35,21 +35,25 @@ from flipviscosity3d_tpu.ops.mesh_sdf import MeshLevelSet
 
 def analytic_boundary_sdf(cfg):
     """Inverted-box solid SDF (same closed form as scripts/readiness512.py)
-    so setup never runs the mesh->SDF path at this scale."""
+    so setup never runs the mesh->SDF path at this scale. Built ON DEVICE:
+    the 257^3-node grid is 68 MB, ~4 minutes through the 0.3 MB/s axon
+    tunnel if built in host numpy."""
     inset = 0.5 * (3.0 * cfg.dx + 1e-6)
-    lo = np.full(3, inset, np.float64)
-    hi = np.array([cfg.isize, cfg.jsize, cfg.ksize], np.float64) * cfg.dx \
-        - inset
-    axes = [np.arange(s + 1, dtype=np.float64) * cfg.dx
-            for s in (cfg.isize, cfg.jsize, cfg.ksize)]
-    p = np.stack(np.meshgrid(*axes, indexing="ij"), axis=-1)
-    q_lo = lo - p
-    q_hi = p - hi
-    q = np.maximum(q_lo, q_hi)
-    outside = np.linalg.norm(np.maximum(q, 0.0), axis=-1)
-    inside = np.minimum(np.max(q, axis=-1), 0.0)
-    phi = (outside + inside).astype(np.float32)
-    return MeshLevelSet(jnp.asarray(-phi), cfg.dx)
+    lo = jnp.full((3,), inset, jnp.float32)
+    hi = (jnp.array([cfg.isize, cfg.jsize, cfg.ksize], jnp.float32)
+          * cfg.dx - inset)
+
+    @jax.jit
+    def build():
+        axes = [jnp.arange(s + 1, dtype=jnp.float32) * cfg.dx
+                for s in (cfg.isize, cfg.jsize, cfg.ksize)]
+        p = jnp.stack(jnp.meshgrid(*axes, indexing="ij"), axis=-1)
+        q = jnp.maximum(lo - p, p - hi)
+        outside = jnp.linalg.norm(jnp.maximum(q, 0.0), axis=-1)
+        inside = jnp.minimum(jnp.max(q, axis=-1), 0.0)
+        return -(outside + inside)
+
+    return MeshLevelSet(build(), cfg.dx)
 
 
 def main():
@@ -66,10 +70,13 @@ def main():
     sim._gravity = np.array([0.0, -9.81, 0.0], np.float32)
     sim._rng = np.random.default_rng(0)
 
-    rng = np.random.default_rng(1)
+    # particles generated on device (192 MB of host positions at the
+    # 16M-particle config 4 scale would take ~10 min through the tunnel)
     m = 2.0 / res
-    pos = rng.uniform(
-        [m, m, m], [1.0 - m, 0.25, 1.0 - m], (npart, 3)).astype(np.float32)
+    plo = jnp.array([m, m, m], jnp.float32)
+    phi_ = jnp.array([1.0 - m, 0.25, 1.0 - m], jnp.float32)
+    pos = jax.random.uniform(
+        jax.random.PRNGKey(1), (npart, 3), jnp.float32) * (phi_ - plo) + plo
     sim._particles_pos = [pos]
     sim._state = None
     state = sim.state

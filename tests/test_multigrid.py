@@ -203,10 +203,15 @@ def test_pallas_vcycle_matches_xla():
         b = jnp.asarray(rng.normal(size=shape).astype(np.float32))
         cfg_x = SimConfig(isize=16, jsize=16, ksize=16, dx=1.0 / 16,
                           mg_backend="xla")
+        # f32 operators for the strict structural-equality check (the
+        # shipped default stores the Pallas operator in bf16)
         cfg_p = SimConfig(isize=16, jsize=16, ksize=16, dx=1.0 / 16,
+                          mg_backend="pallas", mg_operator_dtype="f32")
+        cfg_b = SimConfig(isize=16, jsize=16, ksize=16, dx=1.0 / 16,
                           mg_backend="pallas")
         hx = mg.build_hierarchy(diag, links, cfg_x)
         hp = mg.build_hierarchy(diag, links, cfg_p)
+        hb = mg.build_hierarchy(diag, links, cfg_b)
         out_x = jax.jit(
             lambda b, h=hx: mg.v_cycle(h, b, 1, 1, 0.8, 1.4)
         )(b)
@@ -215,4 +220,12 @@ def test_pallas_vcycle_matches_xla():
         )(b)
         np.testing.assert_allclose(
             np.asarray(out_x), np.asarray(out_p), rtol=2e-5, atol=2e-5,
+        )
+        # the bf16-operator cycle is the same preconditioner up to the
+        # operator's own rounding (~2^-8 relative on diag/links)
+        out_b = jax.jit(
+            lambda b, h=hb: mg.v_cycle(h, b, 1, 1, 0.8, 1.4)
+        )(b)
+        np.testing.assert_allclose(
+            np.asarray(out_x), np.asarray(out_b), rtol=3e-2, atol=3e-2,
         )

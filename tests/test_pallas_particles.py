@@ -83,6 +83,9 @@ def test_tile_major_layout_roundtrip():
     rng = np.random.default_rng(1)
     x = jnp.asarray(rng.standard_normal((*shape, 3)), jnp.float32)
     y = pp.to_tile_major(x)
+    # the Pallas detile kernel must agree with the XLA transpose
+    np.testing.assert_array_equal(
+        np.asarray(pp.detile(y, shape)), np.asarray(pp.from_tile_major(y, shape)))
     back = pp.from_tile_major(y, shape)
     np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
     # tile-major block b, lane l holds cell decode(b*W + l)
