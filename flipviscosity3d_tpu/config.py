@@ -99,19 +99,20 @@ class SimConfig:
     # FluidSimulation.advance raise as soon as a frame reports overflow > 0.
     on_bucket_overflow: str = "fallback"
 
-    # Pallas-engine pass B. "sort" (default, measured round 4): re-sort by
-    # the midpoint key — exact, no fallback. Measured on hardware at
-    # 128^3/4.1M: the sort path benches 2.25 steps/s vs the plan path's
-    # 2.04 (the plan's extra ~1.7x gather visits cost more than the
-    # 10-operand sort it saves, now that lax.sort runs ~38 ms after the
-    # cummax fix). "plan": keep pass-A ordering and gather the RK2 stage-2
-    # samples through a midpoint visit plan (plan_midpoint_visits) — no
-    # second sort; chunks whose midpoints touch more than
-    # pallas_midpoint_budget distinct tiles (or blow the factor*n_chunks
-    # visit capacity) fall back to ballistic advection, counted as
-    # bucket_overflow (measured 346 of 24.7M particle-substeps = 0.001%
-    # at bench scale).
-    pallas_pass_b: str = "sort"
+    # Pallas-engine pass B. "plan" (default, measured round 4): keep pass-A
+    # ordering and gather the RK2 stage-2 samples through a midpoint visit
+    # plan (plan_midpoint_visits) — no second sort; chunks whose midpoints
+    # touch more than pallas_midpoint_budget distinct tiles (or blow the
+    # factor*n_chunks visit capacity) fall back to ballistic advection,
+    # counted as bucket_overflow. Measured on hardware at 128^3/4.1M,
+    # back-to-back same session: plan 2.728 steps/s vs sort 2.534 (the
+    # plan builder's take_along_axis fix took it from 41 ms to 6 ms, which
+    # flipped the round-4 earlier decision), fallback rate 0.001% of
+    # particle-substeps on the real coherent flow. "sort": re-sort by the
+    # midpoint key — exact, no fallback; kept for A/B and as the
+    # conservative option for pathologically incoherent velocity fields
+    # (a chunk whose midpoints scatter to >8 distinct tiles).
+    pallas_pass_b: str = "plan"
     pallas_midpoint_budget: int = 8
     pallas_midpoint_factor: float = 3.0
 

@@ -91,7 +91,12 @@ class SlabSpec(NamedTuple):
 
 
 def make_spec(cfg: SimConfig, n: int, halo_width: int = 6,
-              cap_factor: float = 2.0, n_particles: int = 0) -> SlabSpec:
+              cap_factor: float = 2.0, n_particles: int = 0,
+              mig: int | None = None) -> SlabSpec:
+    """`mig` overrides the per-direction migration-buffer rows (default
+    max(256, per_shard/4)); size it above the worst per-substep face
+    crossing of the scene — overflow drops particles (counted in
+    bucket_overflow), it never corrupts stayers."""
     if cfg.isize % n:
         raise ValueError(f"isize {cfg.isize} not divisible by {n} shards")
     B = cfg.isize // n
@@ -110,9 +115,10 @@ def make_spec(cfg: SimConfig, n: int, halo_width: int = 6,
             "silently sample clamped (wrong) cells"
         )
     per = int(np.ceil(n_particles / n))
-    mig = max(256, per // 4)
+    if mig is None:
+        mig = max(256, per // 4)
     cap = int(np.ceil(per * cap_factor / 8) * 8) + 2 * mig
-    return SlabSpec(n, B, int(halo_width), cap, mig)
+    return SlabSpec(n, B, int(halo_width), cap, int(mig))
 
 
 # --------------------------------------------------------------------------

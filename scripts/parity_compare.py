@@ -53,6 +53,10 @@ def main():
                     default="/root/reference/sample_meshes/sphere_large.ply")
     ap.add_argument("--liquid",
                     default="/root/reference/sample_meshes/stanford_bunny.ply")
+    ap.add_argument("--engine", default="table",
+                    help="particle_engine for the TPU sim (table|stream|"
+                         "pallas); re-run parity whenever the bench default "
+                         "changes engine")
     args = ap.parse_args()
 
     from flipviscosity3d_tpu import FluidSimulation
@@ -60,7 +64,7 @@ def main():
 
     n = args.resolution
     sim = FluidSimulation()
-    sim.initialize(n, n, n, 1.0 / n)
+    sim.initialize(n, n, n, 1.0 / n, particle_engine=args.engine)
     sim.add_boundary(tm.load_ply(args.boundary), inverted=True)
     sim.add_liquid(tm.load_ply(args.liquid))
     sim.set_viscosity(args.viscosity)

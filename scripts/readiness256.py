@@ -61,9 +61,15 @@ def main():
     npart = int(os.environ.get("NPART", "500000"))
     print(f"devices: {jax.devices()}", flush=True)
 
+    engine = os.environ.get("ENGINE", "table")
+    # engine default is "table" for config-4 scale: the pallas engine's
+    # (I,J,K,108) sums + lane-padded tile images are 3 x ~8 GB of HLO
+    # temps at 256^3 (measured OOM: 24.18G of 15.75G hbm) until the
+    # planned (n_tiles, F, W) relayout lands; the table engine's
+    # (cap, n_cells) tables fit
     sim = FluidSimulation.__new__(FluidSimulation)
     sim.cfg = SimConfig(isize=res, jsize=res, ksize=res, dx=1.0 / res,
-                        particle_engine="pallas", bucket_capacity=8)
+                        particle_engine=engine, bucket_capacity=8)
     cfg = sim.cfg
     sim._viscosity = jnp.ones(cfg.node_shape, jnp.float32) * 5.0
     sim._solid_sdf = analytic_boundary_sdf(cfg)
