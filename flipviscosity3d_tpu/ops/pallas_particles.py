@@ -359,6 +359,23 @@ def stack_tile_major(cols, grid_shape):
     return x.reshape(nt[0] * nt[1] * nt[2], W, f)
 
 
+def stack_tile_major_fw(cols, grid_shape):
+    """F (I, J, K) column grids -> (n_tiles, F, W) F-MAJOR tile image.
+
+    The gather kernels' column layout. vs the (n_tiles, W, F) form: the
+    minor dim is W=512 (full lanes), so F pads only to a sublane multiple
+    of 8 — 1.04x at F=108 — where the W-major form pads F to 128 lanes
+    (1.19x at 108, 4x at cap*4=32, and a fatal 8 GB at 256^3). Same
+    optimization_barrier rule as stack_tile_major."""
+    f = len(cols)
+    nt = tile_counts(grid_shape)
+    x = jnp.stack(cols, axis=0)  # (F, I, J, K)
+    x = lax.optimization_barrier(x)
+    x = x.reshape(f, nt[0], TILE[0], nt[1], TILE[1], nt[2], TILE[2])
+    x = x.transpose(1, 3, 5, 0, 2, 4, 6)
+    return x.reshape(nt[0] * nt[1] * nt[2], f, W)
+
+
 def from_tile_major(y, grid_shape):
     """(n_tiles, W, F) -> (I, J, K, F) (XLA transpose; see detile)."""
     f = y.shape[-1]
@@ -588,22 +605,23 @@ def liquid_sdf_from_fields(fields, grid_shape, dx, radius, solid_center_phi):
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("n",))
-def gather_rows(tabs, lockeys, cols_tm, n):
+def gather_rows(tabs, lockeys, cols_fw, n):
     """Per-particle rows cols[key] for tile-sorted keys.
 
-    tabs/lockeys: the stream's VisitPlan; cols_tm: (n_tiles, W, F)
-    tile-major columns. Returns (N, F) f32 rows. One grid step per visit:
-    the tile's column block rides in via the tv index map, the chunk's
-    output rows accumulate under the cv map (first-visit zeroed)."""
+    tabs/lockeys: the stream's VisitPlan; cols_fw: (n_tiles, F, W)
+    F-major tile columns (stack_tile_major_fw). Returns (N, F) f32 rows.
+    One grid step per visit: the tile's column block rides in via the tv
+    index map, the chunk's output rows accumulate under the cv map
+    (first-visit zeroed)."""
     nv = lockeys.shape[1] // C
     n_chunks = _n_chunks(n)
-    n_tiles, _, n_cols_logical = cols_tm.shape
-    # keep the lane dim 128-aligned: avoids Mosaic padding the (W, F) tile
-    # images inside the pipeline (pad lanes are zero, sliced off at the end)
-    n_cols = -(-n_cols_logical // ALIGN) * ALIGN
+    n_tiles, n_cols_logical, _ = cols_fw.shape
+    n_cols = -(-n_cols_logical // 8) * 8
     if n_cols != n_cols_logical:
-        cols_tm = jnp.pad(
-            cols_tm, ((0, 0), (0, 0), (0, n_cols - n_cols_logical)))
+        cols_fw = jnp.pad(
+            cols_fw, ((0, 0), (0, n_cols - n_cols_logical), (0, 0)))
+    # output rows keep F on the lane dim (the caller wants (N, F))
+    n_cols_out = -(-n_cols // ALIGN) * ALIGN
 
     def kernel(tabs_ref, lk_ref, cols_ref, out_ref):
         v = pl.program_id(0)
@@ -615,25 +633,32 @@ def gather_rows(tabs, lockeys, cols_tm, n):
         sub_w = jax.lax.broadcasted_iota(
             jnp.int32, (W, C), 0).astype(jnp.float32)
         m1 = jnp.where(lk_ref[:] == sub_w, 1.0, 0.0)
-        out_ref[0] += onehot_dot(
-            m1, cols_ref[0], (((0,), (0,)), ((), ())))
+        # contract W on both operands with the one-hot LEFT: the result is
+        # (C, F) directly — no in-kernel transpose (a Mosaic relayout)
+        rows_cf = onehot_dot(
+            m1, cols_ref[0], (((0,), (1,)), ((), ())))     # (C, F)
+        pad_f = n_cols_out - n_cols
+        if pad_f:
+            rows_cf = jnp.pad(rows_cf, ((0, 0), (0, pad_f)))
+        out_ref[0] += rows_cf
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nv,),
         in_specs=[
             pl.BlockSpec((1, C), lambda v, t: (0, v)),
-            pl.BlockSpec((1, W, n_cols), lambda v, t: (t[v] & TV_MASK, 0, 0)),
+            pl.BlockSpec((1, n_cols, W), lambda v, t: (t[v] & TV_MASK, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, C, n_cols), lambda v, t: (t[nv + v], 0, 0)),
+        out_specs=pl.BlockSpec(
+            (1, C, n_cols_out), lambda v, t: (t[nv + v], 0, 0)),
     )
     rows = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((n_chunks, C, n_cols), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((n_chunks, C, n_cols_out), jnp.float32),
         grid_spec=grid_spec,
         interpret=_interpret(),
-    )(tabs, lockeys, cols_tm)
-    return rows.reshape(n_chunks * C, n_cols)[:n, :n_cols_logical]
+    )(tabs, lockeys, cols_fw)
+    return rows.reshape(n_chunks * C, n_cols_out)[:n, :n_cols_logical]
 
 
 # ---------------------------------------------------------------------------
@@ -641,11 +666,11 @@ def gather_rows(tabs, lockeys, cols_tm, n):
 # ---------------------------------------------------------------------------
 
 def build_mac_columns(grids_u, grids_v, grids_w, grid_shape):
-    """(n_tiles, W, F) TILE-MAJOR per-cell columns: for each comp, each grid
+    """(n_tiles, F, W) F-MAJOR per-cell columns: for each comp, each grid
     of that comp, the 18 window offsets (p2g_abs_offset layout). Matches
-    ops/stream_transfers.sample_mac_at's column set. Returns the tile-major
-    image directly (see stack_tile_major for why no (I,J,K,F) intermediate
-    exists)."""
+    ops/stream_transfers.sample_mac_at's column set. Returns the F-major
+    tile image directly (see stack_tile_major_fw for the layout rationale;
+    no (I,J,K,F) intermediate exists)."""
     from .grids import shifted_read
 
     comp_grids = (grids_u, grids_v, grids_w)
@@ -655,7 +680,7 @@ def build_mac_columns(grids_u, grids_v, grids_w, grid_shape):
             for oidx in range(18):
                 o = p2g_abs_offset(comp, oidx)
                 cols.append(shifted_read(g, o, grid_shape))
-    return stack_tile_major(cols, grid_shape)
+    return stack_tile_major_fw(cols, grid_shape)
 
 
 def combine_mac_samples(rows, px, py, pz, keys, dx, grid_shape, n_grids,
@@ -759,8 +784,9 @@ def _trilinear_weightsT(pay, dx, n_grids, f):
 def gather_mac(tabs, lockeys, pay, cols_tm, n, dx, n_grids):
     """Fused G2P: per-particle MAC samples without materializing rows.
 
-    pay: (6, n_chunks*C) gather_payload rows; cols_tm: (n_tiles, W, F)
-    build_mac_columns output in tile-major layout. Returns
+    pay: (6, n_chunks*C) gather_payload rows; cols_tm: (n_tiles, F, W)
+    build_mac_columns output in F-major tile layout (full 512-lane rows,
+    F on the sublane dim — pads to a multiple of 8, not 128). Returns
     (GOUT, n_chunks*C) f32 where row comp*n_grids+g is that grid's sampled
     component (rows >= 3*n_grids are zero). Per visit: the one-hot gather,
     the trilinear weight matrix, and an (8, F) one-hot lane-group
@@ -769,11 +795,11 @@ def gather_mac(tabs, lockeys, pay, cols_tm, n, dx, n_grids):
     never exists."""
     nv = lockeys.shape[1] // C
     n_chunks = _n_chunks(n)
-    n_cols_logical = cols_tm.shape[2]
-    f = -(-n_cols_logical // ALIGN) * ALIGN
+    n_cols_logical = cols_tm.shape[1]
+    f = -(-n_cols_logical // 8) * 8
     if f != n_cols_logical:
         cols_tm = jnp.pad(
-            cols_tm, ((0, 0), (0, 0), (0, f - n_cols_logical)))
+            cols_tm, ((0, 0), (0, f - n_cols_logical), (0, 0)))
     dxf = float(dx)
 
     def kernel(tabs_ref, lk_ref, pay_ref, cols_ref, out_ref):
@@ -787,7 +813,7 @@ def gather_mac(tabs, lockeys, pay, cols_tm, n, dx, n_grids):
             jnp.int32, (W, C), 0).astype(jnp.float32)
         m1 = jnp.where(lk_ref[:] == sub_w, 1.0, 0.0)
         row_t = onehot_dot(
-            m1, cols_ref[0], (((0,), (0,)), ((), ())),
+            m1, cols_ref[0], (((1,), (0,)), ((), ())),
             onehot_left=False)                           # (F, C)
         w_t = _trilinear_weightsT(pay_ref[:], dxf, n_grids, f)
         r8 = jax.lax.broadcasted_iota(jnp.int32, (GOUT, f), 0)
@@ -803,7 +829,7 @@ def gather_mac(tabs, lockeys, pay, cols_tm, n, dx, n_grids):
         in_specs=[
             pl.BlockSpec((1, C), lambda v, t: (0, v)),
             pl.BlockSpec((6, C), lambda v, t: (0, t[nv + v])),
-            pl.BlockSpec((1, W, f), lambda v, t: (t[v] & TV_MASK, 0, 0)),
+            pl.BlockSpec((1, f, W), lambda v, t: (t[v] & TV_MASK, 0, 0)),
         ],
         out_specs=pl.BlockSpec((GOUT, C), lambda v, t: (0, t[nv + v])),
     )

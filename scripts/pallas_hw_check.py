@@ -84,11 +84,12 @@ def main():
     # gather at both production widths (108 pads->128, 54 pads->128)
     n_tiles = res**3 // pp.W
     for n_cols in (108, 54):
-        cols = jax.random.normal(k[2], (n_tiles, pp.W, n_cols), jnp.float32)
+        cols = jax.random.normal(
+            k[2], (n_tiles, n_cols, pp.W), jnp.float32)
         rows = np.asarray(jax.jit(
             lambda t, lk, c: pp.gather_rows(t, lk, c, n))(
             stream.plan.tabs, stream.plan.lockeys, cols))
-        want_r = np.asarray(cols).reshape(-1, n_cols)[key]
+        want_r = np.asarray(cols).transpose(0, 2, 1).reshape(-1, n_cols)[key]
         g_ok = np.allclose(rows, want_r, rtol=2e-6, atol=1e-6)
         print(f"gather ({n_cols} cols): {'OK' if g_ok else 'FAIL'}",
               flush=True)

@@ -75,10 +75,17 @@ def analytic_boundary_sdf(cfg) -> MeshLevelSet:
 def main():
     res = int(os.environ.get("RES", "512"))
     npart = int(os.environ.get("NPART", "2000000"))
+    # ISIZE < RES runs slab-exact readiness: per-shard slabs of shape
+    # (ISIZE/NDEV + 2H, RES, RES) — set ISIZE = NDEV * (512/8) = NDEV*64
+    # to reproduce config 5's EXACT per-shard shapes, halos, and
+    # capacities on a host that cannot hold all eight 512-wide slabs at
+    # once (the full 512^3 x 8-virtual-device run peaks >130 GB host RAM
+    # and is OOM-killed; 8 real chips hold 16 GB HBM each).
+    isize = int(os.environ.get("ISIZE", str(res)))
     print(f"devices: {jax.devices()}", flush=True)
 
     sim = FluidSimulation.__new__(FluidSimulation)
-    sim.cfg = SimConfig(isize=res, jsize=res, ksize=res, dx=1.0 / res)
+    sim.cfg = SimConfig(isize=isize, jsize=res, ksize=res, dx=1.0 / res)
     cfg = sim.cfg
     sim._viscosity = jnp.ones(cfg.node_shape, jnp.float32)
     sim._solid_sdf = analytic_boundary_sdf(cfg)
@@ -87,12 +94,14 @@ def main():
 
     rng = np.random.default_rng(1)
     m = 2.0 / res
+    xhi = isize * cfg.dx - m
     pos = rng.uniform(
-        [m, m, m], [1.0 - m, 0.25, 1.0 - m], (npart, 3)).astype(np.float32)
+        [m, m, m], [xhi, 0.25, 1.0 - m], (npart, 3)).astype(np.float32)
     sim._particles_pos = [pos]
     sim._state = None
     state = sim.state
-    print(f"state built: {res}^3, {npart} particles", flush=True)
+    print(f"state built: ({isize},{res},{res}), {npart} particles",
+          flush=True)
 
     spec = sh.make_spec(cfg, NDEV, cap_factor=2.0, n_particles=npart)
     ss = sh.shard_simstate(state, cfg, spec)
@@ -107,7 +116,8 @@ def main():
     assert np.isfinite(np.asarray(pos_out)).all(), "non-finite positions"
     assert alive == npart, f"lost particles: {alive} != {npart}"
     out = dict(
-        ok=True, res=res, n_devices=NDEV, n_particles=npart,
+        ok=True, res=res, isize=isize, n_devices=NDEV, n_particles=npart,
+        slab_shape=[spec.B + 2 * spec.H, res, res],
         substeps=n_sub,
         pressure_iters=int(diag.pressure_iterations),
         viscosity_iters=int(diag.viscosity_iterations),

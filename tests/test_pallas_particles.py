@@ -153,7 +153,8 @@ def test_gather_rows_matches_take():
     stream = pp.tiled_sort(pos, vel, 1.0 / 16, shape)
     cols_std = jnp.asarray(
         rng.standard_normal((*shape, 54)).astype(np.float32))
-    cols = pp.to_tile_major(cols_std)
+    cols = pp.stack_tile_major_fw(
+        [cols_std[..., f] for f in range(54)], shape)
     rows = pp.gather_rows(
         stream.plan.tabs, stream.plan.lockeys, cols, n)
     want = np.asarray(cols_std).reshape(-1, 54)[
