@@ -54,6 +54,9 @@ def run(engine: str, frames: int | None = None, quiet: bool = False) -> float:
         overrides["sdf_capacity"] = int(os.environ["BENCH_SDF_CAPACITY"])
     if os.environ.get("BENCH_MG_DTYPE"):        # mg A/B: f32 | bf16
         overrides["mg_operator_dtype"] = os.environ["BENCH_MG_DTYPE"]
+    if os.environ.get("BENCH_MIDPOINT_FACTOR"):  # plan static-size A/B
+        overrides["pallas_midpoint_factor"] = float(
+            os.environ["BENCH_MIDPOINT_FACTOR"])
     sim.initialize(res, res, res, 1.0 / res, bucket_capacity=cap,
                    particle_engine=engine, **overrides)
 

@@ -416,8 +416,9 @@ def _step_pallas(state: SimState, dt, cfg: SimConfig):
     gm = pp.gather_mac(
         stream.plan.tabs, stream.plan.lockeys, pay_a, cols_a,
         stream.n, dx, 2)
-    (nu, ou), (nv, ov), (nw, ow) = (gm[0], gm[1]), (gm[2], gm[3]), \
-        (gm[4], gm[5])
+    # grid-major output rows: g*3 + comp (grid 0 = post-solve, 1 = saved)
+    (nu, ou), (nv, ov), (nw, ow) = (gm[0], gm[3]), (gm[1], gm[4]), \
+        (gm[2], gm[5])
     r = jnp.float32(cfg.ratio_pic_flip)
     vel_x = r * nu + (1.0 - r) * (svx + nu - ou)
     vel_y = r * nv + (1.0 - r) * (svy + nv - ov)
@@ -429,10 +430,12 @@ def _step_pallas(state: SimState, dt, cfg: SimConfig):
     mz = spz + 0.5 * dt * nw
 
     # ---------------- PASS B: stage-2 sample at the midpoints ----------------
-    # Reuses pass A's 108-lane column images: the gather DMA is 128-lane
-    # padded either way, so sampling [u, saved_u] columns and keeping the
-    # g=0 rows costs the same as a dedicated 54-lane image — and the
-    # cols_b build + its HBM vanish.
+    # Pass B needs only the post-solve grids. Under the grid-major lane
+    # order those are exactly rows [:54] of cols_a — a free sublane prefix
+    # slice — so pass B's gather moves half the DMA and MXU work of the
+    # old comp-major order (which interleaved saved/new lanes and forced
+    # the full 108-lane image through the midpoint gather).
+    cols_b = cols_a[:, :54]
     key_m = pp.key_of_position(jnp.stack([mx, my, mz], axis=1), dx, shape)
     ext = jnp.array([shape[0] * dx, shape[1] * dx, shape[2] * dx],
                     jnp.float32)
@@ -445,7 +448,7 @@ def _step_pallas(state: SimState, dt, cfg: SimConfig):
             cfg.pallas_midpoint_budget, cfg.pallas_midpoint_factor)
         pay_b = pp.gather_payload(mx, my, mz, key_m, shape)
         gmb = pp.gather_mac(
-            plan_m.tabs, plan_m.lockeys, pay_b, cols_a, stream.n, dx, 2)
+            plan_m.tabs, plan_m.lockeys, pay_b, cols_b, stream.n, dx, 1)
         bmx, bmy, bmz = mx, my, mz
         bpx, bpy, bpz = spx, spy, spz
         bvx, bvy, bvz = vel_x, vel_y, vel_z
@@ -457,7 +460,7 @@ def _step_pallas(state: SimState, dt, cfg: SimConfig):
         bmx, bmy, bmz, bpx, bpy, bpz, bvx, bvy, bvz = sorted_b
         pay_b = pp.gather_payload(bmx, bmy, bmz, key_b, shape)
         gmb = pp.gather_mac(
-            plan_b.tabs, plan_b.lockeys, pay_b, cols_a, stream.n, dx, 2)
+            plan_b.tabs, plan_b.lockeys, pay_b, cols_b, stream.n, dx, 1)
         sample_ok = None
     inside_m = (
         (bmx >= 0) & (bmx < ext[0])
@@ -465,8 +468,8 @@ def _step_pallas(state: SimState, dt, cfg: SimConfig):
         & (bmz >= 0) & (bmz < ext[2])
     )
     v2x = jnp.where(inside_m, gmb[0], 0.0)
-    v2y = jnp.where(inside_m, gmb[2], 0.0)
-    v2z = jnp.where(inside_m, gmb[4], 0.0)
+    v2y = jnp.where(inside_m, gmb[1], 0.0)
+    v2z = jnp.where(inside_m, gmb[2], 0.0)
     if sample_ok is not None:
         v2x = jnp.where(sample_ok, v2x, bvx)
         v2y = jnp.where(sample_ok, v2y, bvy)

@@ -201,6 +201,11 @@ def pad_level(diag, links, bi=BI, dtype=jnp.float32):
     in the padded layout their symmetric term would deposit flux into padded
     cells, which 2x-pooling of odd extents folds back into the last coarse
     row. Zeroing them is exact."""
+    def eye_pad(n, n_out, dt):
+        j = jax.lax.broadcasted_iota(jnp.int32, (n, n_out), 0)
+        m = jax.lax.broadcasted_iota(jnp.int32, (n, n_out), 1)
+        return (j == m).astype(dt)
+
     def prep(a, edge_axis=None):
         if a.ndim == 3:
             a = a[None]
@@ -210,9 +215,21 @@ def pad_level(diag, links, bi=BI, dtype=jnp.float32):
             a = a.at[tuple(idx)].set(0.0)
         nbt, ni, nj, nk = a.shape
         back = (-(ni % -bi)) + bi  # to multiple of bi, plus one spare block
-        return jnp.pad(
-            a, ((0, 0), (bi, back), (0, nj % 2), (0, nk % 2))
-        ).astype(dtype)
+        # i pads ride a major-dim jnp.pad; j/k pads (and the bf16 cast)
+        # ride two one-hot MXU dots — a jnp.pad on a tiled (8,128) dim is
+        # a full retile copy, ~6 ms per (3,129,129,129) operand and four
+        # operands per solve on hardware (round 4)
+        a = jnp.pad(a, ((0, 0), (bi, back), (0, 0), (0, 0)))
+        if nj % 2 == 0 and nk % 2 == 0:
+            return a.astype(dtype)
+        for n, n_out in ((nj, nj + nj % 2), (nk, nk + nk % 2)):
+            a = jax.lax.dot_general(
+                a, eye_pad(n, n_out, a.dtype),
+                (((a.ndim - 2,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=dtype,
+            )
+        return a
     return prep(diag), tuple(
         prep(l, edge_axis=ax) for ax, l in enumerate(links)
     )

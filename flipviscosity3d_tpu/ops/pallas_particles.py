@@ -666,20 +666,26 @@ def gather_rows(tabs, lockeys, cols_fw, n):
 # ---------------------------------------------------------------------------
 
 def build_mac_columns(grids_u, grids_v, grids_w, grid_shape):
-    """(n_tiles, F, W) F-MAJOR per-cell columns: for each comp, each grid
-    of that comp, the 18 window offsets (p2g_abs_offset layout). Matches
-    ops/stream_transfers.sample_mac_at's column set. Returns the F-major
-    tile image directly (see stack_tile_major_fw for the layout rationale;
-    no (I,J,K,F) intermediate exists)."""
+    """(n_tiles, F, W) F-MAJOR per-cell columns, GRID-MAJOR lane order:
+    lane (g*3 + comp)*18 + oidx — grid g of component comp at window
+    offset oidx (p2g_abs_offset layout). Matches
+    ops/stream_transfers.sample_mac_at's column set.
+
+    Grid-major (not comp-major) so that rows [:54] are exactly grid 0's
+    columns: pass B samples only the post-solve grids, and a sublane
+    PREFIX slice of the pass-A image is free, where the old comp-major
+    order made pass B gather all 108 lanes for its 54 (2x DMA + MXU,
+    ~20 ms/substep at 128^3)."""
     from .grids import shifted_read
 
     comp_grids = (grids_u, grids_v, grids_w)
+    n_grids = len(grids_u)
     cols = []
-    for comp in range(3):
-        for g in comp_grids[comp]:
+    for g in range(n_grids):
+        for comp in range(3):
             for oidx in range(18):
                 o = p2g_abs_offset(comp, oidx)
-                cols.append(shifted_read(g, o, grid_shape))
+                cols.append(shifted_read(comp_grids[comp][g], o, grid_shape))
     return stack_tile_major_fw(cols, grid_shape)
 
 
@@ -714,7 +720,7 @@ def combine_mac_samples(rows, px, py, pz, keys, dx, grid_shape, n_grids,
                     w = w * jnp.where(
                         corner == 0, 1.0 - fs[ax],
                         jnp.where(corner == 1, fs[ax], 0.0))
-                lane = (comp * n_grids + g) * 18 + oidx
+                lane = (g * 3 + comp) * 18 + oidx   # grid-major lane order
                 out = out + w * rows[:, lane]
             if valid is not None:
                 out = jnp.where(valid, out, 0.0)
@@ -752,7 +758,7 @@ def _trilinear_weightsT(pay, dx, n_grids, f):
     gi, gj, gk = pay[3:4], pay[4:5], pay[5:6]
 
     lane = jax.lax.broadcasted_iota(jnp.int32, (f, C), 0)
-    comp = lane // (18 * n_grids)
+    comp = (lane // 18) % 3          # grid-major: lane = (g*3+comp)*18+oidx
     oidx = lane % 18
     ox = (oidx // 9).astype(jnp.float32)
     oy = ((oidx // 3) % 3 - 1).astype(jnp.float32)
@@ -788,7 +794,8 @@ def gather_mac(tabs, lockeys, pay, cols_tm, n, dx, n_grids):
     build_mac_columns output in F-major tile layout (full 512-lane rows,
     F on the sublane dim — pads to a multiple of 8, not 128). Returns
     (GOUT, n_chunks*C) f32 where row comp*n_grids+g is that grid's sampled
-    component (rows >= 3*n_grids are zero). Per visit: the one-hot gather,
+    component (rows >= 3*n_grids are zero). Output rows follow the
+    GRID-MAJOR lane order: row g*3 + comp. Per visit: the one-hot gather,
     the trilinear weight matrix, and an (8, F) one-hot lane-group
     contraction all stay in VMEM — the (N, F) row buffer of
     gather_rows+combine_mac_samples (1.7 GB at 128^3/4.1M, 8.6 GB at 256^3)

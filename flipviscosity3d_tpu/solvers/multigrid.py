@@ -99,18 +99,13 @@ def _apply(level: MGLevel, x):
     return y
 
 
-def _pad_to_even(a):
-    pads = [(0, 0)] * (a.ndim - 3) + [(0, a.shape[i] % 2) for i in
-                                      range(a.ndim - 3, a.ndim)]
-    if any(p != (0, 0) for p in pads):
-        a = jnp.pad(a, pads)
-    return a
-
-
 def _half_onehot(n, dtype):
-    """(n, n//2) 0/1 matrix M[j, m] = 1 where j//2 == m."""
-    j = jax.lax.broadcasted_iota(jnp.int32, (n, n // 2), 0)
-    m = jax.lax.broadcasted_iota(jnp.int32, (n, n // 2), 1)
+    """(n, ceil(n/2)) 0/1 matrix M[j, m] = 1 where j//2 == m. For odd n the
+    last aggregate sees one row — pooling an odd extent zero-pads for
+    free, so callers never jnp.pad the minor dims (a pad on a tiled
+    (8,128) dim is a full retile copy on this chip)."""
+    j = jax.lax.broadcasted_iota(jnp.int32, (n, (n + 1) // 2), 0)
+    m = jax.lax.broadcasted_iota(jnp.int32, (n, (n + 1) // 2), 1)
     return (j // 2 == m).astype(dtype)
 
 
@@ -124,11 +119,14 @@ def _pool_sum(a):
     before this change). Two successive dots restore the axis order with
     no tiled-dim transpose (contract j -> (..., i/2, k, j/2), then the
     now-minor k -> (..., i/2, j/2, k/2)); the major i axis reshapes for
-    free. HIGHEST keeps the f32 sums exact (the one-hot is 0/1)."""
-    a = _pad_to_even(a)
+    free, and odd minor extents fold into the one-hot (no jnp.pad).
+    HIGHEST keeps the f32 sums exact (the one-hot is 0/1)."""
     s = a.shape
     lead = s[:-3]
     i, j, k = s[-3], s[-2], s[-1]
+    if i % 2:
+        a = jnp.pad(a, [(0, 0)] * (a.ndim - 3) + [(0, 1), (0, 0), (0, 0)])
+        i += 1
     a = a.reshape(lead + (i // 2, 2, j, k)).sum(axis=-3)
     for n in (j, k):
         a = jax.lax.dot_general(

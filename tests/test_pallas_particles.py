@@ -238,8 +238,9 @@ def test_gather_mac_matches_unfused():
         stream.plan.tabs, stream.plan.lockeys, pay, cols, n, dx, 2)
     for comp in range(3):
         for g in range(2):
+            # grid-major output rows: g*3 + comp
             np.testing.assert_allclose(
-                np.asarray(gm[comp * 2 + g]),
+                np.asarray(gm[g * 3 + comp]),
                 np.asarray(want[comp][g]), rtol=1e-5, atol=1e-6)
     np.testing.assert_array_equal(np.asarray(gm[6:]), 0.0)
 
