@@ -57,6 +57,9 @@ def run(engine: str, frames: int | None = None, quiet: bool = False) -> float:
     if os.environ.get("BENCH_MIDPOINT_FACTOR"):  # plan static-size A/B
         overrides["pallas_midpoint_factor"] = float(
             os.environ["BENCH_MIDPOINT_FACTOR"])
+    if os.environ.get("BENCH_SPLIT_TERMS"):      # one-hot matmul passes A/B
+        overrides["pallas_split_terms"] = int(
+            os.environ["BENCH_SPLIT_TERMS"])
     sim.initialize(res, res, res, 1.0 / res, bucket_capacity=cap,
                    particle_engine=engine, **overrides)
 

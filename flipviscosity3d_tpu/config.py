@@ -124,6 +124,13 @@ class SimConfig:
     # stays "gather" until the kernel path is measured on hardware.
     pallas_pushback: str = "gather"
 
+    # bf16 split passes per one-hot matmul in the pallas particle kernels:
+    # 3 reproduces f32 products to ~2^-22 (the default, parity-exact
+    # class); 2 is ~2^-15 (single-f32-pass class) and saves a third of the
+    # MXU work in the scatter and both gathers. Measured A/B before any
+    # default change; parity must be re-run under 2 if it ever wins.
+    pallas_split_terms: int = 3
+
     # Storage dtype for the fused Pallas V-cycle's OPERATOR arrays
     # (diag + 3 links). "bf16" halves their share of the bandwidth-bound
     # cycle's DMA traffic; the kernels upcast to f32 before arithmetic, so

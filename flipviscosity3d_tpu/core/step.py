@@ -397,7 +397,7 @@ def _step_pallas(state: SimState, dt, cfg: SimConfig):
 
     sums, tbl = pp.scatter_p2g_table(
         stream.plan.tabs, stream.plan.lockeys, stream.payload,
-        shape, dx, cap)
+        shape, dx, cap, terms=cfg.pallas_split_terms)
     tbl_fields = pp.table_fields(tbl, shape, cap)
     liquid_phi = pp.liquid_sdf_from_fields(
         tbl_fields, shape, dx, cfg.particle_radius, solid.center_phi)
@@ -415,7 +415,7 @@ def _step_pallas(state: SimState, dt, cfg: SimConfig):
         [stream.payload[0:3], stream.payload[7:10]], axis=0)
     gm = pp.gather_mac(
         stream.plan.tabs, stream.plan.lockeys, pay_a, cols_a,
-        stream.n, dx, 2)
+        stream.n, dx, 2, terms=cfg.pallas_split_terms)
     # grid-major output rows: g*3 + comp (grid 0 = post-solve, 1 = saved)
     (nu, ou), (nv, ov), (nw, ow) = (gm[0], gm[3]), (gm[1], gm[4]), \
         (gm[2], gm[5])
@@ -434,8 +434,11 @@ def _step_pallas(state: SimState, dt, cfg: SimConfig):
     # order those are exactly rows [:54] of cols_a — a free sublane prefix
     # slice — so pass B's gather moves half the DMA and MXU work of the
     # old comp-major order (which interleaved saved/new lanes and forced
-    # the full 108-lane image through the midpoint gather).
-    cols_b = cols_a[:, :54]
+    # the full 108-lane image through the midpoint gather). Sliced at 56
+    # (the sublane multiple): rows 54-55 are grid-1 lanes the kernel's
+    # n_grids=1 lane mask zeroes, and the aligned width avoids a tiled-dim
+    # re-pad inside gather_mac.
+    cols_b = cols_a[:, :56]
     key_m = pp.key_of_position(jnp.stack([mx, my, mz], axis=1), dx, shape)
     ext = jnp.array([shape[0] * dx, shape[1] * dx, shape[2] * dx],
                     jnp.float32)
@@ -448,7 +451,8 @@ def _step_pallas(state: SimState, dt, cfg: SimConfig):
             cfg.pallas_midpoint_budget, cfg.pallas_midpoint_factor)
         pay_b = pp.gather_payload(mx, my, mz, key_m, shape)
         gmb = pp.gather_mac(
-            plan_m.tabs, plan_m.lockeys, pay_b, cols_b, stream.n, dx, 1)
+            plan_m.tabs, plan_m.lockeys, pay_b, cols_b, stream.n, dx, 1,
+            terms=cfg.pallas_split_terms)
         bmx, bmy, bmz = mx, my, mz
         bpx, bpy, bpz = spx, spy, spz
         bvx, bvy, bvz = vel_x, vel_y, vel_z
@@ -460,7 +464,8 @@ def _step_pallas(state: SimState, dt, cfg: SimConfig):
         bmx, bmy, bmz, bpx, bpy, bpz, bvx, bvy, bvz = sorted_b
         pay_b = pp.gather_payload(bmx, bmy, bmz, key_b, shape)
         gmb = pp.gather_mac(
-            plan_b.tabs, plan_b.lockeys, pay_b, cols_b, stream.n, dx, 1)
+            plan_b.tabs, plan_b.lockeys, pay_b, cols_b, stream.n, dx, 1,
+            terms=cfg.pallas_split_terms)
         sample_ok = None
     inside_m = (
         (bmx >= 0) & (bmx < ext[0])

@@ -59,23 +59,27 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _split3(x):
-    """f32 -> three bf16 terms whose sum reproduces x to ~2^-22 relative
-    (8+8+8 mantissa bits — the same decomposition XLA's HIGHEST uses)."""
+def _split3(x, terms=3):
+    """f32 -> `terms` bf16 terms whose sum reproduces x to ~2^-(8*terms+a
+    few) relative (8 mantissa bits per term — 3 terms is the same
+    decomposition XLA's HIGHEST uses; 2 terms ~2^-15, f32-single-pass
+    class)."""
     x1 = x.astype(jnp.bfloat16)
     r = x - x1.astype(jnp.float32)
     x2 = r.astype(jnp.bfloat16)
+    if terms == 2:
+        return x1, x2
     x3 = (r - x2.astype(jnp.float32)).astype(jnp.bfloat16)
     return x1, x2, x3
 
 
-def onehot_dot_split3(onehot, vals, dims, onehot_left=True):
-    """The hardware 3-pass body of onehot_dot, callable on any backend
-    (plain JAX): vals splits into three bf16 terms (_split3), each
+def onehot_dot_split3(onehot, vals, dims, onehot_left=True, terms=3):
+    """The hardware multi-pass body of onehot_dot, callable on any backend
+    (plain JAX): vals splits into `terms` bf16 terms (_split3), each
     contracted against the bf16-cast one-hot with f32 accumulation."""
     oh = onehot.astype(jnp.bfloat16)
     out = None
-    for term in _split3(vals):
+    for term in _split3(vals, terms):
         a, b = (oh, term) if onehot_left else (term, oh)
         d = jax.lax.dot_general(
             a, b, dims, preferred_element_type=jnp.float32)
@@ -83,7 +87,7 @@ def onehot_dot_split3(onehot, vals, dims, onehot_left=True):
     return out
 
 
-def onehot_dot(onehot, vals, dims, onehot_left=True):
+def onehot_dot(onehot, vals, dims, onehot_left=True, terms=3):
     """dot_general where one operand is an exact 0/1 one-hot matrix.
 
     NOTE `dims` is interpreted against the POST-SWAP operand order: with
@@ -95,15 +99,17 @@ def onehot_dot(onehot, vals, dims, onehot_left=True):
     full f32 fidelity on the values — cannot be expressed as a per-operand
     precision tuple: Mosaic rejects those on hardware
     (NotImplementedError: Per-operand dot precision unsupported). Built
-    manually instead (onehot_dot_split3): 3 native MXU passes vs
-    HIGHEST/HIGHEST's 6-9, reproducing the f32 products to ~2^-22.
-    Interpret mode (CPU tests) runs one exact f32 dot instead."""
-    if _interpret():
+    manually instead (onehot_dot_split3): `terms` native MXU passes
+    (3 reproduces f32 products to ~2^-22; 2 to ~2^-15) vs
+    HIGHEST/HIGHEST's 6-9. Interpret mode (CPU tests) runs one exact f32
+    dot instead — EXCEPT at terms=2, where it runs the split (the
+    approximation must be testable on CPU)."""
+    if _interpret() and terms >= 3:
         a, b = (onehot, vals) if onehot_left else (vals, onehot)
         return jax.lax.dot_general(
             a, b, dims, precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=jnp.float32)
-    return onehot_dot_split3(onehot, vals, dims, onehot_left)
+    return onehot_dot_split3(onehot, vals, dims, onehot_left, terms)
 
 
 def check_grid(grid_shape) -> None:
@@ -371,9 +377,15 @@ def stack_tile_major_fw(cols, grid_shape):
     nt = tile_counts(grid_shape)
     x = jnp.stack(cols, axis=0)  # (F, I, J, K)
     x = lax.optimization_barrier(x)
-    x = x.reshape(f, nt[0], TILE[0], nt[1], TILE[1], nt[2], TILE[2])
+    # pad F to a sublane multiple HERE, on the major dim, where it is a
+    # cheap append — the gather kernels otherwise jnp.pad the (…, F, W)
+    # image's tiled sublane dim, a 5.6 ms copy at 128^3 (hardware, r4)
+    f_pad = -(-f // 8) * 8
+    if f_pad != f:
+        x = jnp.pad(x, ((0, f_pad - f), (0, 0), (0, 0), (0, 0)))
+    x = x.reshape(f_pad, nt[0], TILE[0], nt[1], TILE[1], nt[2], TILE[2])
     x = x.transpose(1, 3, 5, 0, 2, 4, 6)
-    return x.reshape(nt[0] * nt[1] * nt[2], f, W)
+    return x.reshape(nt[0] * nt[1] * nt[2], f_pad, W)
 
 
 def from_tile_major(y, grid_shape):
@@ -490,8 +502,9 @@ def _scatter_chunk_values(data, local, dx, cap):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("grid_shape", "dx", "cap"))
-def scatter_p2g_table(tabs, lockeys, payload, grid_shape, dx, cap):
+    jax.jit, static_argnames=("grid_shape", "dx", "cap", "terms"))
+def scatter_p2g_table(tabs, lockeys, payload, grid_shape, dx, cap,
+                      terms=3):
     """-> (sums (I, J, K, N_P2G), table (n_tiles, W, cap*4)).
 
     One grid step per (chunk, tile) visit: the chunk payload and the tile
@@ -524,9 +537,9 @@ def scatter_p2g_table(tabs, lockeys, payload, grid_shape, dx, cap):
 
         m1, wv, rv = _scatter_chunk_values(pay_ref[:], lk_ref[:], dxf, cap)
         dims = (((1,), (1,)), ((), ()))
-        sums_ref[...] += onehot_dot(m1, wv, dims).reshape(
+        sums_ref[...] += onehot_dot(m1, wv, dims, terms=terms).reshape(
             TILE[0], TILE[1], TILE[2], N_P2G)
-        tbl_ref[0] += onehot_dot(m1, rv, dims)
+        tbl_ref[0] += onehot_dot(m1, rv, dims, terms=terms)
 
     def sums_idx(v, t):
         tile = t[v] & TV_MASK
@@ -786,8 +799,9 @@ def _trilinear_weightsT(pay, dx, n_grids, f):
             * axis_w(pz, gk, off_z, o_z))
 
 
-@functools.partial(jax.jit, static_argnames=("n", "dx", "n_grids"))
-def gather_mac(tabs, lockeys, pay, cols_tm, n, dx, n_grids):
+@functools.partial(
+    jax.jit, static_argnames=("n", "dx", "n_grids", "terms"))
+def gather_mac(tabs, lockeys, pay, cols_tm, n, dx, n_grids, terms=3):
     """Fused G2P: per-particle MAC samples without materializing rows.
 
     pay: (6, n_chunks*C) gather_payload rows; cols_tm: (n_tiles, F, W)
@@ -821,7 +835,7 @@ def gather_mac(tabs, lockeys, pay, cols_tm, n, dx, n_grids):
         m1 = jnp.where(lk_ref[:] == sub_w, 1.0, 0.0)
         row_t = onehot_dot(
             m1, cols_ref[0], (((1,), (0,)), ((), ())),
-            onehot_left=False)                           # (F, C)
+            onehot_left=False, terms=terms)              # (F, C)
         w_t = _trilinear_weightsT(pay_ref[:], dxf, n_grids, f)
         r8 = jax.lax.broadcasted_iota(jnp.int32, (GOUT, f), 0)
         l8 = jax.lax.broadcasted_iota(jnp.int32, (GOUT, f), 1)
