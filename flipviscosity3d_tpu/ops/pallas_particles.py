@@ -505,25 +505,27 @@ def _scatter_chunk_values(data, local, dx, cap):
     jax.jit, static_argnames=("grid_shape", "dx", "cap", "terms"))
 def scatter_p2g_table(tabs, lockeys, payload, grid_shape, dx, cap,
                       terms=3):
-    """-> (sums (I, J, K, N_P2G), table (n_tiles, W, cap*4)).
+    """-> (sums (I, J, K, N_P2G), table (I, J, K*cap*4)).
 
     One grid step per (chunk, tile) visit: the chunk payload and the tile
     accumulator are both selected by prefetched index maps; the one-hot
     matmul adds the chunk's contribution. Particle-free tiles are zeroed by
     the plan's empty-tile visits, so no occupancy-mask pass runs after.
 
-    The P2G sums are written in STANDARD (I, J, K, F) layout straight from
-    the kernel: the (W, F) accumulator value reshapes to (8, 8, 8, F)
-    without data movement (identical linearization), and the 4D out
-    BlockSpec decodes the visit's tile id in its index map. This deletes
-    the 108-lane share of the old from_tile_major relayout (37.4 ms
-    measured for 172 lanes at 128^3, ~11x its traffic floor — hardware,
-    round 4). The SDF table stays tile-major: its consumer wants
-    (cap, n_cells) slot-major rows, which no block mapping of this kernel
-    can emit, so it pays a 64-lane relayout in table_fields instead."""
+    BOTH outputs are written in STANDARD layout straight from the kernel:
+    the (W, F) accumulator value reshapes to (8, 8, 8, F) / (8, 8, 8*F)
+    without data movement (identical linearization), and the out BlockSpecs
+    decode the visit's tile id in their index maps. This deletes the old
+    from_tile_major relayouts entirely (37.4 ms measured for 172 lanes at
+    128^3, ~11x its traffic floor — hardware, round 4). The SDF table's
+    cap*4 lanes FOLD INTO the K axis ((I, J, K*cap4), minor dim K*cap4 —
+    always a lane multiple) rather than sit on their own trailing axis: a
+    trailing axis of 32 lanes pads 4x to 128 on this chip, which at 256^3
+    was a fatal 8 GB for a 2 GB table plus another 8 GB for its detile
+    (hardware OOM, round 5); the folded form is unpadded and needs no
+    detile kernel at all."""
     nv = lockeys.shape[1] // C
     nt = tile_counts(grid_shape)
-    n_tiles = nt[0] * nt[1] * nt[2]
     dxf = float(dx)
     cap4 = cap * 4
 
@@ -539,12 +541,18 @@ def scatter_p2g_table(tabs, lockeys, payload, grid_shape, dx, cap,
         dims = (((1,), (1,)), ((), ()))
         sums_ref[...] += onehot_dot(m1, wv, dims, terms=terms).reshape(
             TILE[0], TILE[1], TILE[2], N_P2G)
-        tbl_ref[0] += onehot_dot(m1, rv, dims, terms=terms)
+        tbl_ref[...] += onehot_dot(m1, rv, dims, terms=terms).reshape(
+            TILE[0], TILE[1], TILE[2] * cap4)
 
     def sums_idx(v, t):
         tile = t[v] & TV_MASK
         return (tile // (nt[1] * nt[2]), (tile // nt[2]) % nt[1],
                 tile % nt[2], 0)
+
+    def tbl_idx(v, t):
+        tile = t[v] & TV_MASK
+        return (tile // (nt[1] * nt[2]), (tile // nt[2]) % nt[1],
+                tile % nt[2])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -555,26 +563,27 @@ def scatter_p2g_table(tabs, lockeys, payload, grid_shape, dx, cap,
         ],
         out_specs=[
             pl.BlockSpec((TILE[0], TILE[1], TILE[2], N_P2G), sums_idx),
-            pl.BlockSpec((1, W, cap4), lambda v, t: (t[v] & TV_MASK, 0, 0)),
+            pl.BlockSpec((TILE[0], TILE[1], TILE[2] * cap4), tbl_idx),
         ],
     )
     return pl.pallas_call(
         kernel,
         out_shape=[
             jax.ShapeDtypeStruct(tuple(grid_shape) + (N_P2G,), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, W, cap4), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (grid_shape[0], grid_shape[1], grid_shape[2] * cap4),
+                jnp.float32),
         ],
         grid_spec=grid_spec,
         interpret=_interpret(),
     )(tabs, lockeys, payload)
 
 
-def table_fields(tbl_tm, grid_shape, cap):
-    """(n_tiles, W, cap*4) expanded table -> [(cap, n_cells) px,py,pz]
+def table_fields(tbl_std, grid_shape, cap):
+    """(I, J, K*cap*4) expanded table -> [(cap, n_cells) px,py,pz]
     with FAR empties (the liquid-SDF sweep's slot-major layout)."""
     n_cells = grid_shape[0] * grid_shape[1] * grid_shape[2]
-    std = detile(tbl_tm, grid_shape)  # (I, J, K, cap*4)
-    tbl = std.reshape(*grid_shape, cap, 4)
+    tbl = tbl_std.reshape(*grid_shape, cap, 4)
     tbl = jnp.moveaxis(tbl, 3, 0).reshape(cap, n_cells, 4)
     occ = tbl[..., 3] > 0.5
     return tuple(
@@ -617,22 +626,26 @@ def liquid_sdf_from_fields(fields, grid_shape, dx, radius, solid_center_phi):
 # gather kernel: per-particle rows of per-cell stacked columns
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("n",))
-def gather_rows(tabs, lockeys, cols_fw, n):
+@functools.partial(jax.jit, static_argnames=("n", "f_logical"))
+def gather_rows(tabs, lockeys, cols_fw, n, f_logical=None):
     """Per-particle rows cols[key] for tile-sorted keys.
 
     tabs/lockeys: the stream's VisitPlan; cols_fw: (n_tiles, F, W)
-    F-major tile columns (stack_tile_major_fw). Returns (N, F) f32 rows.
-    One grid step per visit: the tile's column block rides in via the tv
-    index map, the chunk's output rows accumulate under the cv map
-    (first-visit zeroed)."""
+    F-major tile columns (stack_tile_major_fw — NOTE that helper pads F to
+    a sublane multiple of 8, so F here may already be wider than the
+    caller's logical column count). Returns (N, f_logical) f32 rows;
+    f_logical defaults to the input's F, so pass the pre-pad column count
+    to slice the zero pad lanes off. One grid step per visit: the tile's
+    column block rides in via the tv index map, the chunk's output rows
+    accumulate under the cv map (first-visit zeroed)."""
     nv = lockeys.shape[1] // C
     n_chunks = _n_chunks(n)
-    n_tiles, n_cols_logical, _ = cols_fw.shape
-    n_cols = -(-n_cols_logical // 8) * 8
-    if n_cols != n_cols_logical:
+    n_tiles, f_in, _ = cols_fw.shape
+    n_cols_logical = f_in if f_logical is None else f_logical
+    n_cols = -(-f_in // 8) * 8
+    if n_cols != f_in:
         cols_fw = jnp.pad(
-            cols_fw, ((0, 0), (0, n_cols - n_cols_logical), (0, 0)))
+            cols_fw, ((0, 0), (0, n_cols - f_in), (0, 0)))
     # output rows keep F on the lane dim (the caller wants (N, F))
     n_cols_out = -(-n_cols // ALIGN) * ALIGN
 
@@ -807,9 +820,9 @@ def gather_mac(tabs, lockeys, pay, cols_tm, n, dx, n_grids, terms=3):
     pay: (6, n_chunks*C) gather_payload rows; cols_tm: (n_tiles, F, W)
     build_mac_columns output in F-major tile layout (full 512-lane rows,
     F on the sublane dim — pads to a multiple of 8, not 128). Returns
-    (GOUT, n_chunks*C) f32 where row comp*n_grids+g is that grid's sampled
-    component (rows >= 3*n_grids are zero). Output rows follow the
-    GRID-MAJOR lane order: row g*3 + comp. Per visit: the one-hot gather,
+    (GOUT, n_chunks*C) f32 in GRID-MAJOR row order: row g*3 + comp is
+    grid g's sampled component comp (rows >= 3*n_grids are zero). Per
+    visit: the one-hot gather,
     the trilinear weight matrix, and an (8, F) one-hot lane-group
     contraction all stay in VMEM — the (N, F) row buffer of
     gather_rows+combine_mac_samples (1.7 GB at 128^3/4.1M, 8.6 GB at 256^3)

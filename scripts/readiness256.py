@@ -61,12 +61,12 @@ def main():
     npart = int(os.environ.get("NPART", "500000"))
     print(f"devices: {jax.devices()}", flush=True)
 
-    engine = os.environ.get("ENGINE", "table")
-    # engine default is "table" for config-4 scale: the pallas engine's
-    # (I,J,K,108) sums + lane-padded tile images are 3 x ~8 GB of HLO
-    # temps at 256^3 (measured OOM: 24.18G of 15.75G hbm) until the
-    # planned (n_tiles, F, W) relayout lands; the table engine's
-    # (cap, n_cells) tables fit
+    engine = os.environ.get("ENGINE", "pallas")
+    # engine default is "pallas" (the measured bench default). The two
+    # round-4/5 256^3 OOMs are both fixed: the F-major (n_tiles, F, W)
+    # gather-column layout (d279a5c) killed the 128-lane-padded column
+    # images, and the standard-layout (I, J, K*cap4) SDF table killed the
+    # 4x-padded tile-major table + its 8 GB detile (round 5).
     sim = FluidSimulation.__new__(FluidSimulation)
     sim.cfg = SimConfig(isize=res, jsize=res, ksize=res, dx=1.0 / res,
                         particle_engine=engine, bucket_capacity=8)
