@@ -60,6 +60,11 @@ def run(engine: str, frames: int | None = None, quiet: bool = False) -> float:
     if os.environ.get("BENCH_SPLIT_TERMS"):      # one-hot matmul passes A/B
         overrides["pallas_split_terms"] = int(
             os.environ["BENCH_SPLIT_TERMS"])
+    if os.environ.get("BENCH_PASS_A"):           # pallas A/B: sort | stale
+        overrides["pallas_pass_a"] = os.environ["BENCH_PASS_A"]
+    if os.environ.get("BENCH_RESORT_EVERY"):
+        overrides["pallas_resort_every"] = int(
+            os.environ["BENCH_RESORT_EVERY"])
     sim.initialize(res, res, res, 1.0 / res, bucket_capacity=cap,
                    particle_engine=engine, **overrides)
 

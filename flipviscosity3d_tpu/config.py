@@ -116,6 +116,24 @@ class SimConfig:
     pallas_midpoint_budget: int = 8
     pallas_midpoint_factor: float = 3.0
 
+    # Pallas-engine pass A. "sort" (default): one 7-operand lax.sort per
+    # substep re-establishes the tile-major stream (35.2 ms at 4.1M on
+    # hardware, round 4 — the engine's largest single waste vs its ~1.4 ms
+    # radix floor). "stale": keep the previous substep's ordering and build
+    # budget visit plans over the CURRENT keys instead (plan_pass_a): a
+    # chunk-major plan drives the G2P gather, a tile-major re-sorted plan
+    # (a ~3*n_chunks-element sort) drives the scatter, and within-cell SDF
+    # ranks are computed in-kernel from accumulator count lanes
+    # (_rank_from_accumulator) since no sorted stream exists. Particles
+    # beyond a chunk's pallas_passa_budget distinct tiles skip this
+    # substep's transfers (ballistic fallback, counted). A full re-sort
+    # still runs every pallas_resort_every substeps (and on the first
+    # substep of every frame) to bound chunk spatial spread.
+    pallas_pass_a: str = "sort"
+    pallas_resort_every: int = 8
+    pallas_passa_budget: int = 8
+    pallas_passa_factor: float = 3.0
+
     # Pallas-engine solid pushback. "gather": one XLA (N, 8) node-SDF
     # row-gather (round-2 path, ~7-25 ns/row on this chip). "kernel":
     # visit-plan packed gather (gather_rows8) — 16 cells share one
@@ -140,6 +158,9 @@ class SimConfig:
     # Measured on hardware (128^3/4.1M bench, round 4): bf16 2.668 steps/s
     # vs f32 2.551 with IDENTICAL iteration counts (pressure 21,
     # viscosity 24) — the cycle is bandwidth-bound, as the roofline said.
+    # NOTE the A/B ran at 128^3 only; other resolutions inherit bf16
+    # unmeasured. Verify iteration counts once per new scale (the 256^3
+    # readiness prints them) before relying on it there.
     mg_operator_dtype: str = "bf16"
 
     # Safety bound on CFL substeps per advance() call (reference has no cap;

@@ -379,25 +379,64 @@ def _step_table(state: SimState, dt, cfg: SimConfig):
     return new_state, diag
 
 
-def _step_pallas(state: SimState, dt, cfg: SimConfig):
+def _step_pallas(state: SimState, dt, cfg: SimConfig, substep_idx=None):
     """One CFL substep on the tile-block Pallas engine
     (ops/pallas_particles.py): one-hot MXU matmuls replace every irregular
     particle<->grid op. Same three-pass structure as the table engine:
     pass A keyed by position (P2G + SDF table + G2P), pass B keyed by the
-    RK2 midpoint (stage-2 sample), then clamp + solid pushback."""
+    RK2 midpoint (stage-2 sample), then clamp + solid pushback.
+
+    Pass A runs in one of two orderings (cfg.pallas_pass_a): "sort"
+    re-sorts the stream every substep; "stale" keeps the previous
+    substep's ordering, drives scatter AND gather through budget visit
+    plans over the current keys (plan_pass_a), computes SDF-table ranks
+    in-kernel, and re-sorts only every cfg.pallas_resort_every substeps."""
     dx = cfg.dx
     shape = cfg.grid_shape
     solid = state.solid
     cap = cfg.sdf_capacity or cfg.bucket_capacity
+    n = state.pos.shape[0]
 
     # ---------------- PASS A ----------------
-    stream = pp.tiled_sort(state.pos, state.vel, dx, shape)
-    spx, spy, spz = stream.sorted[0], stream.sorted[1], stream.sorted[2]
-    svx, svy, svz = stream.sorted[3], stream.sorted[4], stream.sorted[5]
+    if cfg.pallas_pass_a == "stale":
+        def _sorted(pv):
+            pos_, vel_ = pv
+            key = pp.key_of_position(pos_, dx, shape)
+            ops = lax.sort(
+                (key, pos_[:, 0], pos_[:, 1], pos_[:, 2],
+                 vel_[:, 0], vel_[:, 1], vel_[:, 2]),
+                num_keys=1, is_stable=True)
+            return (jnp.stack(ops[1:4], axis=1),
+                    jnp.stack(ops[4:7], axis=1))
 
-    sums, tbl = pp.scatter_p2g_table(
-        stream.plan.tabs, stream.plan.lockeys, stream.payload,
-        shape, dx, cap, terms=cfg.pallas_split_terms)
+        idx = jnp.int32(0) if substep_idx is None else substep_idx
+        do_sort = (idx % cfg.pallas_resort_every) == 0
+        pos, vel = lax.cond(
+            do_sort, _sorted, lambda pv: pv, (state.pos, state.vel))
+        key_a = pp.key_of_position(pos, dx, shape)
+        gplan, splan = pp.plan_pass_a(
+            key_a, n, shape, cfg.pallas_passa_budget,
+            cfg.pallas_passa_factor)
+        payload = pp.stale_payload(pos, vel, key_a, shape)
+        spx, spy, spz = pos[:, 0], pos[:, 1], pos[:, 2]
+        svx, svy, svz = vel[:, 0], vel[:, 1], vel[:, 2]
+        sums, tbl = pp.scatter_p2g_table(
+            splan.tabs, splan.lockeys, payload, shape, dx, cap,
+            terms=cfg.pallas_split_terms, inkernel_rank=True)
+        overflow_a = pp.table_rank_overflow(tbl, shape, cap) + jnp.sum(
+            (~gplan.covered).astype(jnp.int32))
+        g_tabs, g_lk, g_cov = gplan.tabs, gplan.lockeys, gplan.covered
+    else:
+        stream = pp.tiled_sort(state.pos, state.vel, dx, shape)
+        payload = stream.payload
+        spx, spy, spz = stream.sorted[0], stream.sorted[1], stream.sorted[2]
+        svx, svy, svz = stream.sorted[3], stream.sorted[4], stream.sorted[5]
+        sums, tbl = pp.scatter_p2g_table(
+            stream.plan.tabs, stream.plan.lockeys, stream.payload,
+            shape, dx, cap, terms=cfg.pallas_split_terms)
+        overflow_a = jnp.sum((stream.rank >= cap).astype(jnp.int32))
+        g_tabs, g_lk, g_cov = stream.plan.tabs, stream.plan.lockeys, None
+
     tbl_fields = pp.table_fields(tbl, shape, cap)
     liquid_phi = pp.liquid_sdf_from_fields(
         tbl_fields, shape, dx, cfg.particle_radius, solid.center_phi)
@@ -412,13 +451,19 @@ def _step_pallas(state: SimState, dt, cfg: SimConfig):
     cols_a = pp.build_mac_columns(
         [u, saved_u], [v, saved_v], [w, saved_w], shape)
     pay_a = jnp.concatenate(
-        [stream.payload[0:3], stream.payload[7:10]], axis=0)
+        [payload[0:3], payload[7:10]], axis=0)
     gm = pp.gather_mac(
-        stream.plan.tabs, stream.plan.lockeys, pay_a, cols_a,
-        stream.n, dx, 2, terms=cfg.pallas_split_terms)
+        g_tabs, g_lk, pay_a, cols_a,
+        n, dx, 2, terms=cfg.pallas_split_terms)
     # grid-major output rows: g*3 + comp (grid 0 = post-solve, 1 = saved)
     (nu, ou), (nv, ov), (nw, ow) = (gm[0], gm[3]), (gm[1], gm[4]), \
         (gm[2], gm[5])
+    if g_cov is not None:
+        # uncovered particles advect ballistically: new == old == own
+        # velocity makes the FLIP update a no-op (table-engine contract)
+        nu, ou = jnp.where(g_cov, nu, svx), jnp.where(g_cov, ou, svx)
+        nv, ov = jnp.where(g_cov, nv, svy), jnp.where(g_cov, ov, svy)
+        nw, ow = jnp.where(g_cov, nw, svz), jnp.where(g_cov, ow, svz)
     r = jnp.float32(cfg.ratio_pic_flip)
     vel_x = r * nu + (1.0 - r) * (svx + nu - ou)
     vel_y = r * nv + (1.0 - r) * (svy + nv - ov)
@@ -447,11 +492,11 @@ def _step_pallas(state: SimState, dt, cfg: SimConfig):
         # no second sort: midpoint visit plan over the pass-A ordering;
         # uncovered midpoints advect ballistically (table-engine contract)
         plan_m = pp.plan_midpoint_visits(
-            key_m, stream.n, shape,
+            key_m, n, shape,
             cfg.pallas_midpoint_budget, cfg.pallas_midpoint_factor)
         pay_b = pp.gather_payload(mx, my, mz, key_m, shape)
         gmb = pp.gather_mac(
-            plan_m.tabs, plan_m.lockeys, pay_b, cols_b, stream.n, dx, 1,
+            plan_m.tabs, plan_m.lockeys, pay_b, cols_b, n, dx, 1,
             terms=cfg.pallas_split_terms)
         bmx, bmy, bmz = mx, my, mz
         bpx, bpy, bpz = spx, spy, spz
@@ -464,7 +509,7 @@ def _step_pallas(state: SimState, dt, cfg: SimConfig):
         bmx, bmy, bmz, bpx, bpy, bpz, bvx, bvy, bvz = sorted_b
         pay_b = pp.gather_payload(bmx, bmy, bmz, key_b, shape)
         gmb = pp.gather_mac(
-            plan_b.tabs, plan_b.lockeys, pay_b, cols_b, stream.n, dx, 1,
+            plan_b.tabs, plan_b.lockeys, pay_b, cols_b, n, dx, 1,
             terms=cfg.pallas_split_terms)
         sample_ok = None
     inside_m = (
@@ -494,13 +539,13 @@ def _step_pallas(state: SimState, dt, cfg: SimConfig):
         key_k = pp.key_of_position(
             jnp.stack([cpx, cpy, cpz], axis=1), dx, shape)
         plan_k = pp.plan_midpoint_visits(
-            key_k, stream.n, shape,
+            key_k, n, shape,
             cfg.pallas_midpoint_budget, cfg.pallas_midpoint_factor)
         cols_n = pp.pack_cols8(pp.stack_tile_major(
             [c.reshape(shape) for c in st.node_corner_columns(
                 solid.phi, shape)], shape))
         corners = pp.gather_rows8(
-            plan_k.tabs, plan_k.lockeys, cols_n, stream.n)
+            plan_k.tabs, plan_k.lockeys, cols_n, n)
         ki, kj, kk = pp.decode_key(key_k, shape)
         dpx, dpy, dpz = st.pushback_from_corners(
             [corners[f] for f in range(8)],
@@ -526,24 +571,25 @@ def _step_pallas(state: SimState, dt, cfg: SimConfig):
     new_vel = jnp.stack([bvx, bvy, bvz], axis=1)
 
     new_state = state._replace(pos=new_pos, vel=new_vel, u=u, v=v, w=w)
-    # P2G/G2P include every particle; overflow counts the SDF-table capacity
-    # drops plus pass-B midpoint-plan fallbacks
+    # overflow counts SDF-table capacity drops, pass-A coverage fallbacks
+    # (stale mode), and pass-B midpoint-plan / pushback-plan fallbacks
     diag = dict(
-        bucket_overflow=jnp.sum((stream.rank >= cap).astype(jnp.int32))
-        + n_uncovered,
+        bucket_overflow=overflow_a + n_uncovered,
         **solver_diag,
     )
     return new_state, diag
 
 
-def step(state: SimState, dt, cfg: SimConfig):
+def step(state: SimState, dt, cfg: SimConfig, substep_idx=None):
     """One CFL substep (the body of the reference's advance loop,
-    fluidsimulation.cpp:144-166). Returns (state, diagnostics pieces)."""
+    fluidsimulation.cpp:144-166). Returns (state, diagnostics pieces).
+    substep_idx (traced int32, the advance loop's counter) gates the
+    stale-pass-A re-sort cadence; None means substep 0 (always sorts)."""
     if cfg.particle_engine == "stream":
         return _step_stream(state, dt, cfg)
     if cfg.particle_engine == "pallas":
         pp.check_grid(cfg.grid_shape)
-        return _step_pallas(state, dt, cfg)
+        return _step_pallas(state, dt, cfg, substep_idx)
     return _step_table(state, dt, cfg)
 
 
@@ -577,7 +623,7 @@ def advance(state: SimState, dt, cfg: SimConfig):
             jnp.float32(jnp.inf),
         )
         substep = jnp.minimum(cfl, dt - t)
-        st_, d = step(st_, substep, cfg)
+        st_, d = step(st_, substep, cfg, substep_idx=n)
         diag = StepDiagnostics(
             substeps=diag.substeps + 1,
             pressure_iterations=diag.pressure_iterations

@@ -63,8 +63,12 @@ def _split3(x, terms=3):
     """f32 -> `terms` bf16 terms whose sum reproduces x to ~2^-(8*terms+a
     few) relative (8 mantissa bits per term — 3 terms is the same
     decomposition XLA's HIGHEST uses; 2 terms ~2^-15, f32-single-pass
-    class)."""
+    class; 1 is a plain bf16 cast — exact ONLY for 0/1 one-hots and
+    integers < 256, used by the in-kernel rank's one-hot x one-hot
+    dots)."""
     x1 = x.astype(jnp.bfloat16)
+    if terms == 1:
+        return (x1,)
     r = x - x1.astype(jnp.float32)
     x2 = r.astype(jnp.bfloat16)
     if terms == 2:
@@ -295,6 +299,23 @@ class TiledStream(NamedTuple):
         return self.key.shape[0]
 
 
+def stale_payload(pos, vel, key, grid_shape):
+    """(NPAY, n_chunks*C) scatter payload from CURRENT-ordered (unsorted)
+    arrays for the stale pass A: rank row is zero (the scatter computes
+    ranks in-kernel); gi/gj/gk decode the current keys."""
+    n = pos.shape[0]
+    gi, gj, gk = decode_key(key, grid_shape)
+    rows = [pos[:, 0], pos[:, 1], pos[:, 2],
+            vel[:, 0], vel[:, 1], vel[:, 2],
+            jnp.zeros((n,), jnp.float32), gi.astype(jnp.float32),
+            gj.astype(jnp.float32), gk.astype(jnp.float32)]
+    payload = jnp.stack(rows, axis=0)
+    pad = _n_chunks(n) * C - n
+    if pad:
+        payload = jnp.pad(payload, ((0, 0), (0, pad)))
+    return payload
+
+
 def tiled_sort(pos, vel, dx, grid_shape) -> TiledStream:
     """ONE lax.sort per substep + rank scan + visit plan."""
     key = key_of_position(pos, dx, grid_shape)
@@ -448,12 +469,12 @@ def p2g_abs_offset(comp: int, oidx: int):
 # scatter kernel: P2G sums + SDF bucket-table expansion
 # ---------------------------------------------------------------------------
 
-def _scatter_chunk_values(data, local, dx, cap):
+def _p2g_chunk_values(data, local, dx):
     """data: (NPAY, C) payload block, local: (1, C) tile-local keys
-    -> (m1 (W, C) one-hot, vals (N_P2G + cap*4, C))."""
+    -> (m1 (W, C) cell one-hot, vals (N_P2G, C) Wyvill weight/momentum
+    lanes)."""
     px, py, pz = data[0:1], data[1:2], data[2:3]
     vx, vy, vz = data[3:4], data[4:5], data[5:6]
-    rank = data[6:7]
     gi, gj, gk = data[7:8], data[8:9], data[9:10]
 
     sub_w = jax.lax.broadcasted_iota(
@@ -487,25 +508,104 @@ def _scatter_chunk_values(data, local, dx, cap):
     wgt = 1.0 - c1 * d2 * d2 * d2 + c2 * d2 * d2 - c3 * d2
     wgt = jnp.where(d2 < r2, wgt, 0.0)
     vsel = is_u * vx + is_v * vy + is_w * vz
-    wv = wgt * vsel
+    return m1, jnp.concatenate([wgt, wgt * vsel], axis=0)
 
-    lane_t = jax.lax.broadcasted_iota(jnp.int32, (cap * 4, C), 0)
-    r_ = (lane_t // 4).astype(jnp.float32)
-    f_ = lane_t % 4
-    rv = jnp.where(
-        rank == r_,
-        jnp.where(f_ == 0, px,
-                  jnp.where(f_ == 1, py, jnp.where(f_ == 2, pz, 1.0))),
-        0.0,
-    )
-    return m1, jnp.concatenate([wgt, wv], axis=0), rv
+
+def _table_chunk_values(data, local, rank, cap, with_counts):
+    """SDF table factors, shaped for a direct (8, 8, 8*capl) block.
+
+    The obvious (W, cap4) dot result cannot reshape to the K-folded
+    (8, 8, 8*cap4) output block in-kernel (the minor dim changes, a
+    Mosaic relayout: "infer-vector-layout: unsupported shape cast" on
+    hardware). Split the cell one-hot instead: a (64, C) one-hot over the
+    (li, lj) sublane pair on the left, and the lk factor folded into the
+    slot-value operand, so the dot yields (64, 8*capl) — a pure
+    sublane-split reshape away from the block. Same MACs.
+
+    with_counts appends 8 lanes per cell (lane capl-8 counts EVERY
+    particle homed in the cell regardless of rank — the in-kernel rank's
+    cross-visit base and the rank-overflow diagnostic; the rest pad to a
+    4-multiple). Returns (a64 (64, C), rv (8*capl, C))."""
+    px, py, pz = data[0:1], data[1:2], data[2:3]
+    capl = cap * 4 + (8 if with_counts else 0)
+    sub64 = jax.lax.broadcasted_iota(
+        jnp.int32, (TILE[0] * TILE[1], C), 0).astype(jnp.float32)
+    row64 = jnp.floor(local * (1.0 / TILE[2]))
+    a64 = jnp.where(row64 == sub64, 1.0, 0.0)
+    lk_p = local - row64 * TILE[2]                    # (1, C)
+    lane_t = jax.lax.broadcasted_iota(jnp.int32, (TILE[2] * capl, C), 0)
+    lkk = (lane_t // capl).astype(jnp.float32)
+    ll = lane_t % capl
+    r_ = (ll // 4).astype(jnp.float32)
+    f_ = ll % 4
+    val = jnp.where(
+        f_ == 0, px,
+        jnp.where(f_ == 1, py, jnp.where(f_ == 2, pz, 1.0)))
+    hit = (ll < cap * 4) & (rank == r_)
+    if with_counts:
+        val = jnp.where(ll == cap * 4, 1.0, val)
+        hit = hit | (ll == cap * 4)
+    rv = jnp.where(hit & (lk_p == lkk), val, 0.0)
+    return a64, rv
+
+
+_RANK_SUB = 128   # in-kernel rank sub-block width (lane-register aligned)
+
+
+def _rank_from_accumulator(m1, a64, local, tbl2d, cap):
+    """Per-particle within-cell rank for the stale-ordering scatter:
+    cross-visit base read from the accumulator's count lanes + a
+    within-chunk prefix count, all as one-hot MXU contractions (DESIGN.md
+    "in-kernel rank"; replaces the sorted stream's cummax rank scan).
+
+    m1 (W, C) cell one-hot, a64 (64, C) sublane-pair one-hot, local
+    (1, C) tile-local keys, tbl2d (64, 8*capl) the accumulated table
+    block (sublane-merged view). All dots are 0/1 x 0/1 (terms=1, exact)
+    except those against count values (terms=2, exact to 2^16)."""
+    capl = cap * 4 + 8
+    # ---- cross-visit base: count lane per cell, factored (sub64, lk) ----
+    li = jax.lax.broadcasted_iota(jnp.int32, (TILE[2] * capl, 8), 0)
+    ki = jax.lax.broadcasted_iota(jnp.int32, (TILE[2] * capl, 8), 1)
+    e = jnp.where(li == ki * capl + cap * 4, 1.0, 0.0)
+    cnt64 = onehot_dot(                              # (64, 8)
+        e, tbl2d, (((1,), (0,)), ((), ())), onehot_left=False, terms=2)
+    row64 = jnp.floor(local * (1.0 / TILE[2]))
+    lk_p = local - row64 * TILE[2]
+    k8 = jax.lax.broadcasted_iota(
+        jnp.int32, (TILE[2], C), 0).astype(jnp.float32)
+    lk1 = jnp.where(lk_p == k8, 1.0, 0.0)            # (8, C)
+    t1 = onehot_dot(                                 # (64, C)
+        lk1, cnt64, (((1,), (0,)), ((), ())), onehot_left=False, terms=2)
+    base_p = jnp.sum(a64 * t1, axis=0, keepdims=True)   # (1, C)
+
+    # ---- within-chunk prefix, hierarchical over 128-lane sub-blocks ----
+    qi = jax.lax.broadcasted_iota(jnp.int32, (_RANK_SUB, _RANK_SUB), 0)
+    pi = jax.lax.broadcasted_iota(jnp.int32, (_RANK_SUB, _RANK_SUB), 1)
+    lstrict = jnp.where(qi < pi, 1.0, 0.0)
+    ones8 = jnp.ones((TILE[2], _RANK_SUB), jnp.float32)
+    h8 = jnp.zeros((TILE[2], W), jnp.float32)
+    parts = []
+    for b in range(C // _RANK_SUB):
+        m1b = m1[:, _RANK_SUB * b:_RANK_SUB * (b + 1)]     # (W, 128)
+        prefb = onehot_dot(                                # (W, 128)
+            lstrict, m1b, (((1,), (0,)), ((), ())),
+            onehot_left=False, terms=1)
+        rb = jnp.sum(m1b * prefb, axis=0, keepdims=True)   # (1, 128)
+        hb = onehot_dot(                                   # (8, 128)
+            m1b, h8, (((1,), (0,)), ((), ())),
+            onehot_left=False, terms=2)
+        parts.append(rb + hb[0:1])
+        h8 = h8 + onehot_dot(                              # (8, W)
+            ones8, m1b, (((1,), (1,)), ((), ())), terms=1)
+    return base_p + jnp.concatenate(parts, axis=1)         # (1, C)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("grid_shape", "dx", "cap", "terms"))
+    jax.jit,
+    static_argnames=("grid_shape", "dx", "cap", "terms", "inkernel_rank"))
 def scatter_p2g_table(tabs, lockeys, payload, grid_shape, dx, cap,
-                      terms=3):
-    """-> (sums (I, J, K, N_P2G), table (I, J, K*cap*4)).
+                      terms=3, inkernel_rank=False):
+    """-> (sums (I, J, K, N_P2G), table (I, J, K*capl)).
 
     One grid step per (chunk, tile) visit: the chunk payload and the tile
     accumulator are both selected by prefetched index maps; the one-hot
@@ -513,21 +613,29 @@ def scatter_p2g_table(tabs, lockeys, payload, grid_shape, dx, cap,
     the plan's empty-tile visits, so no occupancy-mask pass runs after.
 
     BOTH outputs are written in STANDARD layout straight from the kernel:
-    the (W, F) accumulator value reshapes to (8, 8, 8, F) / (8, 8, 8*F)
-    without data movement (identical linearization), and the out BlockSpecs
-    decode the visit's tile id in their index maps. This deletes the old
-    from_tile_major relayouts entirely (37.4 ms measured for 172 lanes at
-    128^3, ~11x its traffic floor — hardware, round 4). The SDF table's
-    cap*4 lanes FOLD INTO the K axis ((I, J, K*cap4), minor dim K*cap4 —
-    always a lane multiple) rather than sit on their own trailing axis: a
-    trailing axis of 32 lanes pads 4x to 128 on this chip, which at 256^3
-    was a fatal 8 GB for a 2 GB table plus another 8 GB for its detile
-    (hardware OOM, round 5); the folded form is unpadded and needs no
-    detile kernel at all."""
+    the (W, F) accumulator value reshapes to (8, 8, 8, F) / (64, 8*capl)
+    to (8, 8, 8*capl) without data movement (identical linearization), and
+    the out BlockSpecs decode the visit's tile id in their index maps.
+    This deletes the old from_tile_major relayouts entirely (37.4 ms
+    measured for 172 lanes at 128^3, ~11x its traffic floor — hardware,
+    round 4). The SDF table's capl lanes FOLD INTO the K axis
+    ((I, J, K*capl), minor dim always a lane multiple) rather than sit on
+    their own trailing axis: a trailing axis of 32 lanes pads 4x to 128 on
+    this chip, which at 256^3 was a fatal 8 GB for a 2 GB table plus
+    another 8 GB for its detile (hardware OOM, round 5); the folded form
+    is unpadded and needs no detile kernel at all.
+
+    inkernel_rank=True is the stale-ordering pass-A mode (tabs/lockeys
+    from plan_pass_a's ScatterPlan, payload rank row ignored): within-cell
+    ranks are computed per visit from the accumulator's count lanes plus a
+    one-hot prefix contraction (_rank_from_accumulator), so the input
+    needs NO sorted stream at all. capl grows from cap*4 to cap*4+8 (the
+    count lanes; table_fields skips them, table_rank_overflow reads
+    them)."""
     nv = lockeys.shape[1] // C
     nt = tile_counts(grid_shape)
     dxf = float(dx)
-    cap4 = cap * 4
+    capl = cap * 4 + (8 if inkernel_rank else 0)
 
     def kernel(tabs_ref, lk_ref, pay_ref, sums_ref, tbl_ref):
         v = pl.program_id(0)
@@ -537,12 +645,24 @@ def scatter_p2g_table(tabs, lockeys, payload, grid_shape, dx, cap,
             sums_ref[:] = jnp.zeros_like(sums_ref)
             tbl_ref[:] = jnp.zeros_like(tbl_ref)
 
-        m1, wv, rv = _scatter_chunk_values(pay_ref[:], lk_ref[:], dxf, cap)
+        local = lk_ref[:]
+        m1, wv = _p2g_chunk_values(pay_ref[:], local, dxf)
         dims = (((1,), (1,)), ((), ()))
         sums_ref[...] += onehot_dot(m1, wv, dims, terms=terms).reshape(
             TILE[0], TILE[1], TILE[2], N_P2G)
-        tbl_ref[...] += onehot_dot(m1, rv, dims, terms=terms).reshape(
-            TILE[0], TILE[1], TILE[2] * cap4)
+        if inkernel_rank:
+            tbl2d = tbl_ref[...].reshape(TILE[0] * TILE[1], TILE[2] * capl)
+            sub64 = jax.lax.broadcasted_iota(
+                jnp.int32, (TILE[0] * TILE[1], C), 0).astype(jnp.float32)
+            a64 = jnp.where(
+                jnp.floor(local * (1.0 / TILE[2])) == sub64, 1.0, 0.0)
+            rank = _rank_from_accumulator(m1, a64, local, tbl2d, cap)
+        else:
+            rank = pay_ref[6:7]
+        a64, rv = _table_chunk_values(
+            pay_ref[:], local, rank, cap, inkernel_rank)
+        tbl_ref[...] += onehot_dot(a64, rv, dims, terms=terms).reshape(
+            TILE[0], TILE[1], TILE[2] * capl)
 
     def sums_idx(v, t):
         tile = t[v] & TV_MASK
@@ -563,7 +683,7 @@ def scatter_p2g_table(tabs, lockeys, payload, grid_shape, dx, cap,
         ],
         out_specs=[
             pl.BlockSpec((TILE[0], TILE[1], TILE[2], N_P2G), sums_idx),
-            pl.BlockSpec((TILE[0], TILE[1], TILE[2] * cap4), tbl_idx),
+            pl.BlockSpec((TILE[0], TILE[1], TILE[2] * capl), tbl_idx),
         ],
     )
     return pl.pallas_call(
@@ -571,7 +691,7 @@ def scatter_p2g_table(tabs, lockeys, payload, grid_shape, dx, cap,
         out_shape=[
             jax.ShapeDtypeStruct(tuple(grid_shape) + (N_P2G,), jnp.float32),
             jax.ShapeDtypeStruct(
-                (grid_shape[0], grid_shape[1], grid_shape[2] * cap4),
+                (grid_shape[0], grid_shape[1], grid_shape[2] * capl),
                 jnp.float32),
         ],
         grid_spec=grid_spec,
@@ -580,14 +700,26 @@ def scatter_p2g_table(tabs, lockeys, payload, grid_shape, dx, cap,
 
 
 def table_fields(tbl_std, grid_shape, cap):
-    """(I, J, K*cap*4) expanded table -> [(cap, n_cells) px,py,pz]
-    with FAR empties (the liquid-SDF sweep's slot-major layout)."""
+    """(I, J, K*capl) expanded table -> [(cap, n_cells) px,py,pz]
+    with FAR empties (the liquid-SDF sweep's slot-major layout). capl is
+    inferred from the shape: cap*4, or cap*4+8 when the scatter ran with
+    inkernel_rank (the count lanes are skipped here)."""
     n_cells = grid_shape[0] * grid_shape[1] * grid_shape[2]
-    tbl = tbl_std.reshape(*grid_shape, cap, 4)
-    tbl = jnp.moveaxis(tbl, 3, 0).reshape(cap, n_cells, 4)
+    slots = tbl_std.shape[2] // grid_shape[2] // 4
+    tbl = tbl_std.reshape(*grid_shape, slots, 4)
+    tbl = jnp.moveaxis(tbl, 3, 0).reshape(slots, n_cells, 4)[:cap]
     occ = tbl[..., 3] > 0.5
     return tuple(
         jnp.where(occ, tbl[..., f], FAR) for f in range(3))
+
+
+def table_rank_overflow(tbl_std, grid_shape, cap):
+    """Particles beyond `cap` in one cell (dropped from the SDF table), from
+    the inkernel_rank count lanes: sum over cells of max(count - cap, 0)."""
+    capl = tbl_std.shape[2] // grid_shape[2]
+    counts = tbl_std.reshape(
+        *grid_shape, capl)[..., cap * 4]
+    return jnp.sum(jnp.maximum(counts - cap, 0.0)).astype(jnp.int32)
 
 
 def p2g_combine(sums, grid_shape, face_shapes):
@@ -1013,24 +1145,23 @@ def midpoint_plan_size(n: int, factor: float = 3.0,
     return max(int(factor * _n_chunks(n)), _n_chunks(n) + 8)
 
 
-def plan_midpoint_visits(key_m, n: int, grid_shape, budget: int = 8,
-                         factor: float = 3.0) -> MidpointPlan:
-    """Build a MidpointPlan from pass-A-ordered midpoint keys.
-
-    All dense XLA: `budget` min-extraction sweeps find each chunk's
-    distinct midpoint tiles in ascending order, a cumsum/searchsorted pair
-    compacts the (chunk, tile) incidences into `midpoint_plan_size(n)`
-    visits, and two (NV, C) row gathers localize the keys per visit."""
+def _pad_chunk_keys(key, n: int):
+    """(N,) int32 keys -> (n_chunks, C) with _IMAX pads."""
     n_chunks = _n_chunks(n)
-    nv = midpoint_plan_size(n, factor, budget)
     pad = n_chunks * C - n
-    km = key_m.astype(jnp.int32)
+    km = key.astype(jnp.int32)
     if pad:
         km = jnp.concatenate([km, jnp.full((pad,), _IMAX, jnp.int32)])
-    kmr = km.reshape(n_chunks, C)
-    tm = jnp.where(kmr == _IMAX, _IMAX, kmr // W)
+    return km.reshape(n_chunks, C)
 
-    # ---- per-chunk distinct midpoint tiles, ascending ----
+
+def _budget_extract(kmr, budget: int):
+    """Per-chunk distinct home tiles, ascending, by `budget` min-sweeps.
+
+    kmr: (n_chunks, C) padded keys. Returns (tiles (n_chunks, budget) with
+    _IMAX empties, tm (n_chunks, C) per-particle tiles, cnt, off)."""
+    n_chunks = kmr.shape[0]
+    tm = jnp.where(kmr == _IMAX, _IMAX, kmr // W)
     rem = tm
     tiles = []
     for _ in range(budget):
@@ -1042,6 +1173,21 @@ def plan_midpoint_visits(key_m, n: int, grid_shape, budget: int = 8,
     cnt = jnp.sum(valid_b.astype(jnp.int32), axis=1)   # >= 1: every chunk
     off = jnp.concatenate(                             # has a real particle
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(cnt, dtype=jnp.int32)])
+    return tiles, tm, cnt, off
+
+
+def plan_midpoint_visits(key_m, n: int, grid_shape, budget: int = 8,
+                         factor: float = 3.0) -> MidpointPlan:
+    """Build a MidpointPlan from pass-A-ordered midpoint keys.
+
+    All dense XLA: `budget` min-extraction sweeps find each chunk's
+    distinct midpoint tiles in ascending order, a cumsum/searchsorted pair
+    compacts the (chunk, tile) incidences into `midpoint_plan_size(n)`
+    visits, and two (NV, C) row gathers localize the keys per visit."""
+    n_chunks = _n_chunks(n)
+    nv = midpoint_plan_size(n, factor, budget)
+    kmr = _pad_chunk_keys(key_m, n)
+    tiles, tm, cnt, off = _budget_extract(kmr, budget)
     total = jnp.minimum(off[n_chunks], nv)
 
     # ---- compact into the static visit list ----
@@ -1081,3 +1227,123 @@ def plan_midpoint_visits(key_m, n: int, grid_shape, budget: int = 8,
 
     tabs = pack_tabs(tv, cv, jnp.zeros((nv,), jnp.int32), first_c)
     return MidpointPlan(tabs, lk.reshape(1, -1), covered)
+
+
+# ---------------------------------------------------------------------------
+# stale-ordering pass A: budget plans over the previous substep's ordering
+# ---------------------------------------------------------------------------
+
+
+class ScatterPlan(NamedTuple):
+    """Tile-major budget visit plan for the scatter kernel over UNSORTED
+    (stale-pass-A-ordered) home keys.
+
+    Where plan_visits' input is a sorted stream (spans telescope, visits
+    come out tile-AND-chunk-monotone for free), here the incidences of a
+    budget extraction are explicitly re-sorted by tile so that all visits
+    of one output tile are contiguous — the scatter kernel's accumulator
+    contract (a flushed block is never revisited). Tiles with no incidence
+    get one zeroing visit each (FLAG_TILE, all-masked keys), exactly like
+    plan_visits' empty-tile visits. FLAG_CHUNK is never set (the scatter
+    kernel doesn't use it). Particles beyond their chunk's `budget`
+    distinct tiles (or the factor*n_chunks visit capacity) appear in no
+    visit: they are dropped from P2G and the SDF table for this substep
+    (covered=False; the caller counts them and falls back ballistically,
+    the table-engine overflow contract)."""
+
+    tabs: jnp.ndarray
+    lockeys: jnp.ndarray
+    covered: jnp.ndarray
+
+
+def scatter_plan_size(n: int, grid_shape, factor: float = 3.0,
+                      budget: int = 8) -> int:
+    n_tiles = (grid_shape[0] * grid_shape[1] * grid_shape[2]) // W
+    return midpoint_plan_size(n, factor, budget) + n_tiles
+
+
+def plan_pass_a(key, n: int, grid_shape, budget: int = 8,
+                factor: float = 3.0):
+    """Both pass-A plans from ONE budget extraction over unsorted keys.
+
+    Returns (gather_plan: MidpointPlan, scatter_plan: ScatterPlan) with
+    identical coverage. The gather plan is chunk-major (gather_mac's
+    output-rows-resident contract); the scatter plan is the same incidence
+    list re-sorted tile-major (a ~3*n_chunks-element sort, trivial next to
+    the 7-operand N-element sort it replaces) plus one zeroing visit per
+    uncovered tile."""
+    n_chunks = _n_chunks(n)
+    nv0 = midpoint_plan_size(n, factor, budget)
+    n_tiles = (grid_shape[0] * grid_shape[1] * grid_shape[2]) // W
+    nv = nv0 + n_tiles
+    kmr = _pad_chunk_keys(key, n)
+    tiles, tm, cnt, off = _budget_extract(kmr, budget)
+    total = jnp.minimum(off[n_chunks], nv0)
+
+    # ---- chunk-major incidence list (shared) ----
+    vidx0 = jnp.arange(nv0, dtype=jnp.int32)
+    cv0 = jnp.clip(
+        jnp.searchsorted(off, vidx0, side="right").astype(jnp.int32) - 1,
+        0, n_chunks - 1)
+    b0 = jnp.clip(vidx0 - off[cv0], 0, budget - 1)
+    tv0 = tiles[cv0, b0]
+    in_r0 = vidx0 < total
+    last0 = total - 1
+    tv0 = jnp.where(in_r0, tv0, tv0[last0])
+    cv0c = jnp.where(in_r0, cv0, cv0[last0])
+    first_c0 = in_r0 & jnp.concatenate(
+        [jnp.ones((1,), bool), cv0c[1:] != cv0c[:-1]])
+
+    # ---- coverage (shared; identical to plan_midpoint_visits) ----
+    slot = jnp.zeros(tm.shape, jnp.int32)
+    hit = jnp.zeros(tm.shape, bool)
+    for bb in range(budget):
+        slot = slot + (tiles[:, bb:bb + 1] < tm).astype(jnp.int32)
+        hit = hit | (tiles[:, bb:bb + 1] == tm)
+    placed = off[:-1][:, None] + slot < nv0
+    covered = (hit & (slot < budget) & placed & (kmr != _IMAX))
+    covered = covered.reshape(-1)[:n]
+
+    # ---- gather plan: chunk-major, as plan_midpoint_visits ----
+    tmv0 = jnp.take(tm, cv0c, axis=0)
+    kmv0 = jnp.take(kmr, cv0c, axis=0)
+    lk0 = jnp.where(
+        (tmv0 == tv0[:, None]) & in_r0[:, None],
+        (kmv0 - tv0[:, None] * W).astype(jnp.float32), -1.0)
+    gtabs = pack_tabs(tv0, cv0c, jnp.zeros((nv0,), jnp.int32), first_c0)
+    gather_plan = MidpointPlan(gtabs, lk0.reshape(1, -1), covered)
+
+    # ---- scatter plan: tile-major re-sort + empty-tile zero visits ----
+    sort_key = jnp.where(in_r0, tv0, _IMAX)
+    tv_s, cv_s = lax.sort((sort_key, cv0), num_keys=1, is_stable=True)
+    tv = jnp.concatenate([tv_s, jnp.full((n_tiles,), _IMAX, jnp.int32)])
+    cv = jnp.concatenate([cv_s, jnp.zeros((n_tiles,), jnp.int32)])
+    vidx = jnp.arange(nv, dtype=jnp.int32)
+    first_t = (vidx < total) & jnp.concatenate(
+        [jnp.ones((1,), bool), tv[1:] != tv[:-1]])
+
+    occ = jnp.zeros((n_tiles,), bool).at[tv_s].set(True, mode="drop")
+    uncov = ~occ
+    n_uncov = jnp.sum(uncov.astype(jnp.int32))
+    tiles_ar = jnp.arange(n_tiles, dtype=jnp.int32)
+    pos = jnp.where(
+        uncov, total + jnp.cumsum(uncov.astype(jnp.int32)) - 1, nv)
+    tv = tv.at[pos].set(tiles_ar, mode="drop")
+    cv = cv.at[pos].set(0, mode="drop")
+    first_t = first_t.at[pos].set(True, mode="drop")
+    # pads repeat the LAST written block (still resident), flags off
+    last_uncov = jnp.max(jnp.where(uncov, tiles_ar, -1))
+    pad_fill = jnp.where(n_uncov > 0, last_uncov, tv[last0])
+    is_pad = vidx >= total + n_uncov
+    tv = jnp.where(is_pad, pad_fill, tv)
+    first_t = first_t & ~is_pad
+
+    tmv = jnp.take(tm, cv, axis=0)
+    kmv = jnp.take(kmr, cv, axis=0)
+    lk = jnp.where(
+        (tmv == tv[:, None]) & (vidx < total)[:, None],
+        (kmv - tv[:, None] * W).astype(jnp.float32), -1.0)
+    stabs = pack_tabs(tv, cv, first_t.astype(jnp.int32),
+                      jnp.zeros((nv,), jnp.int32))
+    scatter_plan = ScatterPlan(stabs, lk.reshape(1, -1), covered)
+    return gather_plan, scatter_plan

@@ -138,13 +138,28 @@ def _pool_sum(a):
 
 
 def _prolong(a, fine_spatial):
-    """P: replicate each coarse cell into its 2x2x2 block (R^T exactly)."""
+    """P: replicate each coarse cell into its 2x2x2 block (R^T exactly).
+
+    The two MINOR axes replicate via one-hot MXU contractions (the exact
+    transpose of _pool_sum's trick, same axis-order restoration): the
+    obvious broadcast_to(..., (i,2,j,2,k,2)).reshape pins a size-2 minor
+    dim that this chip pads 64x — a 13 GB HLO temp for a 197 MB level at
+    256^3 (hardware OOM, round 5). Only the MAJOR i axis uses the free
+    broadcast+reshape. Each one-hot row holds exactly one 1, so HIGHEST
+    reproduces the replication bit-exactly."""
     lead = a.shape[:-3]
     i, j, k = a.shape[-3], a.shape[-2], a.shape[-1]
+    fi, fj, fk = fine_spatial
     b = jnp.broadcast_to(
-        a[..., :, None, :, None, :, None], lead + (i, 2, j, 2, k, 2)
-    ).reshape(lead + (2 * i, 2 * j, 2 * k))
-    return b[..., : fine_spatial[0], : fine_spatial[1], : fine_spatial[2]]
+        a[..., :, None, :, :], lead + (i, 2, j, k)
+    ).reshape(lead + (2 * i, j, k))[..., :fi, :, :]
+    for n_f in (fj, fk):
+        b = jax.lax.dot_general(
+            b, _half_onehot(n_f, b.dtype),
+            (((b.ndim - 2,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    return b
 
 
 def _parity_mask(x, spatial_axis):
@@ -223,8 +238,13 @@ class MGHierarchy(NamedTuple):
 
 
 _DENSE_COARSE_MAX_CELLS = 4096
-# VMEM budget check for the fused kernels: ~21 blocks of (BI, J, K) f32
-_PALLAS_MAX_PLANE = 160 * 160
+# VMEM budget check for the fused kernels. UP is the bigger launch: per
+# grid step 12 bf16 operator blocks + 6 f32 b/x blocks + 3 coarse + 1 out,
+# each (1, BI=4, J, K) — ~15 MB at a 258x258 plane, ~30 MB double-buffered,
+# comfortably inside the 128 MB VMEM. 260^2 covers the 256^3 configs
+# (verified on hardware, round 5); 512^3 planes (~60 MB/step) would need
+# BI=2 and stay on the XLA cycle until measured.
+_PALLAS_MAX_PLANE = 260 * 260
 
 
 def _use_pallas(cfg, levels) -> bool:

@@ -170,6 +170,38 @@ def main():
     print(f"{'pass-B plan vs sort':28s} {'':14s} "
           f"{ms_plan + ms_gm:9.2f} ms vs sort-path total above", flush=True)
 
+    # ---- stale pass A: budget plans + in-kernel-rank scatter vs the sort.
+    # Positions drift from the sorted order like one substep of real flow
+    # (<= cfl/2 cells of jitter); coverage and per-stage deltas tell
+    # whether pallas_pass_a="stale" beats re-sorting every substep.
+    posA_j = jnp.clip(
+        jnp.stack([stream.sorted[a] for a in range(3)], axis=1)
+        + jax.random.uniform(
+            k[6], (N, 3), jnp.float32, -2.5 * DX, 2.5 * DX),
+        0.001, 0.999)
+    plana_fn = jax.jit(lambda p: pp.plan_pass_a(
+        pp.key_of_position(p, DX, SHAPE), N, SHAPE))
+    (gplan, splan), ms_pa = timed("plan_pass_a (stale, 2 plans)",
+                                  plana_fn, posA_j)
+    cov_a = float(jnp.mean(gplan.covered.astype(jnp.float32)).item())
+    print(f"    pass-A coverage {cov_a:.6f}  visits "
+          f"{splan.lockeys.shape[1] // pp.C}", flush=True)
+    paysta_fn = jax.jit(lambda p, v: pp.stale_payload(
+        p, v, pp.key_of_position(p, DX, SHAPE), SHAPE))
+    pay_st, ms_pp = timed("stale_payload", paysta_fn, posA_j, vel_j)
+    scats_fn = jax.jit(lambda t, lk, pay: pp.scatter_p2g_table(
+        t, lk, pay, SHAPE, DX, CAP, inkernel_rank=True))
+    (sums2, tbl2), ms_sc2 = timed("scatter (in-kernel rank)", scats_fn,
+                                  splan.tabs, splan.lockeys, pay_st)
+    pay_a2 = jnp.concatenate([pay_st[0:3], pay_st[7:10]], axis=0)
+    _, ms_gm2 = timed("gather_mac (A, stale plan)", gm_fn,
+                      gplan.tabs, gplan.lockeys, pay_a2, cols_a)
+    # the sort path's pass-A ordering cost it replaces: tiled_sort+plan;
+    # stale replaces it with plans+payload and pays kernel deltas
+    print(f"{'stale pass-A total':28s} {'':14s} "
+          f"{ms_pa + ms_pp + ms_sc2 + ms_gm2:9.2f} ms "
+          f"(sort path: sort+scatter+gather above)", flush=True)
+
     # ---- pushback A/B: XLA (N, 8) row gather vs packed-row kernel ----
     from flipviscosity3d_tpu.ops import stream_transfers as st
     from flipviscosity3d_tpu.ops.buckets import cell_of_position

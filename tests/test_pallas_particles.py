@@ -400,3 +400,80 @@ def test_full_advance_matches_table_engine(frames):
     com_t = np.asarray(sim_t.state.pos).mean(0)
     com_p = np.asarray(sim_p.state.pos).mean(0)
     np.testing.assert_allclose(com_t, com_p, rtol=1e-4, atol=1e-5)
+
+
+def _multiset_rows(a):
+    a = np.asarray(a)
+    return a[np.lexsort((a[:, 2], a[:, 1], a[:, 0]))]
+
+
+def test_stale_scatter_matches_sorted_scatter():
+    """plan_pass_a + in-kernel ranks over an UNSORTED stream must reproduce
+    the sorted scatter: identical P2G sums (mod f32 order), identical SDF
+    table per cell as a slot multiset, and an exact count lane."""
+    shape = (16, 16, 16)
+    dx = 1.0 / 16
+    cap = 4
+    rng = np.random.default_rng(11)
+    n = 2500
+    pos = jnp.asarray(rng.random((n, 3), np.float32) * 0.9 + 0.05)
+    vel = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+
+    stream = pp.tiled_sort(pos, vel, dx, shape)
+    sums_s, tbl_s = pp.scatter_p2g_table(
+        stream.plan.tabs, stream.plan.lockeys, stream.payload,
+        shape, dx, cap)
+
+    key = pp.key_of_position(pos, dx, shape)
+    gplan, splan = pp.plan_pass_a(key, n, shape, budget=8, factor=3.0)
+    # 16^3 has 8 tiles total and budget=8 -> full coverage by construction
+    assert bool(jnp.all(gplan.covered))
+    payload = pp.stale_payload(pos, vel, key, shape)
+    sums_t, tbl_t = pp.scatter_p2g_table(
+        splan.tabs, splan.lockeys, payload, shape, dx, cap,
+        inkernel_rank=True)
+
+    np.testing.assert_allclose(
+        np.asarray(sums_t), np.asarray(sums_s), rtol=1e-4, atol=1e-5)
+
+    # table: per-cell slot multisets must match exactly (rank ORDER may
+    # differ between the streams; the SDF min doesn't care)
+    f_s = np.stack([np.asarray(f) for f in pp.table_fields(
+        tbl_s, shape, cap)], axis=-1)          # (cap, n_cells, 3)
+    f_t = np.stack([np.asarray(f) for f in pp.table_fields(
+        tbl_t, shape, cap)], axis=-1)
+    np.testing.assert_allclose(
+        np.sort(f_s, axis=0), np.sort(f_t, axis=0), atol=1e-6)
+
+    # count lanes: exact per-cell histogram, overflow = sum max(cnt-cap, 0)
+    ijk = np.asarray(jnp.stack(pp.decode_key(key, shape), axis=1))
+    std = (ijk[:, 0] * shape[1] + ijk[:, 1]) * shape[2] + ijk[:, 2]
+    hist = np.bincount(std, minlength=shape[0] * shape[1] * shape[2])
+    want_of = int(np.maximum(hist - cap, 0).sum())
+    got_of = int(pp.table_rank_overflow(tbl_t, shape, cap))
+    assert got_of == want_of
+
+
+def test_step_pallas_stale_matches_sort():
+    """A full substep with pallas_pass_a='stale' (substep_idx=1: NO sort,
+    plans over the raw seeding order) must reproduce the sort engine's
+    substep as a particle multiset."""
+    sim_a = make_sim("pallas", pallas_pass_a="stale",
+                     pallas_passa_budget=8)
+    sim_b = make_sim("pallas")
+    state = sim_a.state
+    dt = jnp.float32(0.005)
+
+    new_a, diag_a = step_mod.step(
+        state, dt, sim_a.cfg, substep_idx=jnp.int32(1))
+    new_b, diag_b = step_mod.step(
+        state, dt, sim_b.cfg, substep_idx=jnp.int32(1))
+
+    assert int(diag_a["bucket_overflow"]) == 0
+    np.testing.assert_allclose(
+        _multiset_rows(new_a.pos), _multiset_rows(new_b.pos),
+        rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(new_a.u), np.asarray(new_b.u), rtol=1e-4, atol=1e-5)
+    assert int(diag_a["pressure_iterations"]) == int(
+        diag_b["pressure_iterations"])
