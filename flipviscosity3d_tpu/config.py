@@ -142,6 +142,15 @@ class SimConfig:
     # stays "gather" until the kernel path is measured on hardware.
     pallas_pushback: str = "gather"
 
+    # Pass-A gather column layout. False: ONE 108-lane image serves new +
+    # FLIP-saved grids (one gather kernel; pass B prefix-slices its 54).
+    # True: two 54-lane images gathered separately — same MXU/DMA total,
+    # but the peak column memory halves (at 256^3 the 108-lane image is a
+    # 7 GB array whose relayout needs TWO copies live, 16 GB of transient
+    # HBM — the round-5 OOM #3). None (default): auto — split at
+    # >= 2^24 cells (256^3+).
+    pallas_split_gather: bool | None = None
+
     # bf16 split passes per one-hot matmul in the pallas particle kernels:
     # 3 reproduces f32 products to ~2^-22 (the default, parity-exact
     # class); 2 is ~2^-15 (single-f32-pass class) and saves a third of the

@@ -448,16 +448,41 @@ def _step_pallas(state: SimState, dt, cfg: SimConfig, substep_idx=None):
     )
 
     # ---------------- G2P + advection ----------------
-    cols_a = pp.build_mac_columns(
-        [u, saved_u], [v, saved_v], [w, saved_w], shape)
     pay_a = jnp.concatenate(
         [payload[0:3], payload[7:10]], axis=0)
-    gm = pp.gather_mac(
-        g_tabs, g_lk, pay_a, cols_a,
-        n, dx, 2, terms=cfg.pallas_split_terms)
-    # grid-major output rows: g*3 + comp (grid 0 = post-solve, 1 = saved)
-    (nu, ou), (nv, ov), (nw, ow) = (gm[0], gm[3]), (gm[1], gm[4]), \
-        (gm[2], gm[5])
+    split_g = cfg.pallas_split_gather
+    if split_g is None:
+        split_g = (shape[0] * shape[1] * shape[2]) >= (1 << 24)
+    if split_g:
+        # two 54-lane images: halves the peak column memory (config.py
+        # pallas_split_gather); pass B reuses the post-solve image whole
+        cols_new = pp.build_mac_columns([u], [v], [w], shape)
+        cols_sav = pp.build_mac_columns(
+            [saved_u], [saved_v], [saved_w], shape)
+        gm_n = pp.gather_mac(
+            g_tabs, g_lk, pay_a, cols_new, n, dx, 1,
+            terms=cfg.pallas_split_terms)
+        gm_s = pp.gather_mac(
+            g_tabs, g_lk, pay_a, cols_sav, n, dx, 1,
+            terms=cfg.pallas_split_terms)
+        (nu, ou), (nv, ov), (nw, ow) = (gm_n[0], gm_s[0]), \
+            (gm_n[1], gm_s[1]), (gm_n[2], gm_s[2])
+        cols_b = cols_new
+    else:
+        cols_a = pp.build_mac_columns(
+            [u, saved_u], [v, saved_v], [w, saved_w], shape)
+        gm = pp.gather_mac(
+            g_tabs, g_lk, pay_a, cols_a,
+            n, dx, 2, terms=cfg.pallas_split_terms)
+        # grid-major output rows: g*3 + comp (grid 0 = post-solve,
+        # 1 = saved)
+        (nu, ou), (nv, ov), (nw, ow) = (gm[0], gm[3]), (gm[1], gm[4]), \
+            (gm[2], gm[5])
+        # Pass B needs only the post-solve grids. Under the grid-major
+        # lane order those are exactly rows [:54] of cols_a — a free
+        # sublane prefix slice. Sliced at 56 (the sublane multiple): rows
+        # 54-55 are grid-1 lanes the kernel's n_grids=1 mask zeroes.
+        cols_b = cols_a[:, :56]
     if g_cov is not None:
         # uncovered particles advect ballistically: new == old == own
         # velocity makes the FLIP update a no-op (table-engine contract)
@@ -475,15 +500,9 @@ def _step_pallas(state: SimState, dt, cfg: SimConfig, substep_idx=None):
     mz = spz + 0.5 * dt * nw
 
     # ---------------- PASS B: stage-2 sample at the midpoints ----------------
-    # Pass B needs only the post-solve grids. Under the grid-major lane
-    # order those are exactly rows [:54] of cols_a — a free sublane prefix
-    # slice — so pass B's gather moves half the DMA and MXU work of the
-    # old comp-major order (which interleaved saved/new lanes and forced
-    # the full 108-lane image through the midpoint gather). Sliced at 56
-    # (the sublane multiple): rows 54-55 are grid-1 lanes the kernel's
-    # n_grids=1 lane mask zeroes, and the aligned width avoids a tiled-dim
-    # re-pad inside gather_mac.
-    cols_b = cols_a[:, :56]
+    # cols_b: the post-solve 54-lane column image, set above (a free
+    # sublane prefix slice of the fused image, or the split path's
+    # cols_new whole).
     key_m = pp.key_of_position(jnp.stack([mx, my, mz], axis=1), dx, shape)
     ext = jnp.array([shape[0] * dx, shape[1] * dx, shape[2] * dx],
                     jnp.float32)

@@ -39,6 +39,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 BI = 4  # fine-axis rows per block (even, for 2x pooling)
 
+# The kernels' in-kernel value temps (six (BI+2, J, K) f32 extensions +
+# shift/apply intermediates) exceed the DEFAULT 16 MB scoped-vmem stack at
+# a 258x258 plane (18.6 MB needed — hardware, 256^3, round 5). Raise the
+# per-kernel limit; total VMEM (DMA blocks + stack) stays well inside the
+# chip's 128 MB at the 260^2 plane cap (solvers/multigrid._PALLAS_MAX_PLANE).
+_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=96 * 1024 * 1024)
+
 
 def _interpret() -> bool:
     """Compiled on TPU; interpreter elsewhere (CPU tests)."""
@@ -263,6 +270,7 @@ def down(diag_p, links_p, b_p, omega, bi=BI):
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=_interpret(),
+        compiler_params=_PARAMS,
     )(*operands)
     return x, rc
 
@@ -290,4 +298,5 @@ def up(diag_p, links_p, b_p, x, xc, omega, scale, bi=BI):
         out_specs=out_spec,
         out_shape=out_shape,
         interpret=_interpret(),
+        compiler_params=_PARAMS,
     )(*operands)

@@ -743,15 +743,18 @@ def p2g_combine(sums, grid_shape, face_shapes):
     return acc
 
 
-def liquid_sdf_from_fields(fields, grid_shape, dx, radius, solid_center_phi):
+def liquid_sdf_from_fields(fields, grid_shape, dx, radius, solid_center_phi,
+                           finalize=True):
     """27-offset dense min sweep over the expanded position table
-    (particlelevelset.cpp:77-139), reusing the table engine's sweep."""
+    (particlelevelset.cpp:77-139), reusing the table engine's sweep.
+    finalize=False skips the solid extrapolation (slab pipeline: fold halo
+    mins across shards first)."""
     from .buckets import BucketTable
     from .particle_grid import liquid_sdf_from_particles
 
     stub = BucketTable(fields, (), None, None, jnp.int32(0))
     return liquid_sdf_from_particles(
-        stub, grid_shape, dx, radius, solid_center_phi)
+        stub, grid_shape, dx, radius, solid_center_phi, finalize=finalize)
 
 
 # ---------------------------------------------------------------------------

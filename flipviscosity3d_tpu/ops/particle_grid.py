@@ -45,12 +45,14 @@ def _component_windows(component):
 
 
 def liquid_sdf_from_particles(table: BucketTable, grid_shape, dx, radius,
-                              solid_center_phi):
+                              solid_center_phi, finalize=True):
     """Cell-centered liquid SDF (particlelevelset.cpp:77-139).
 
     phi(c) = min(3dx, min over particles in the 3x3x3 cell window of
     |center(c) - p| - radius), then phi = -dx/2 inside solids near the
-    surface.
+    surface. finalize=False skips that solid extrapolation — the slab
+    pipeline folds halo contributions (min) across shards first and
+    finalizes after (st.extrapolate_sdf_into_solid).
     """
     px, py, pz = table.fields[0], table.fields[1], table.fields[2]
     coords = cell_coords(grid_shape).astype(jnp.float32)
@@ -86,6 +88,8 @@ def liquid_sdf_from_particles(table: BucketTable, grid_shape, dx, radius,
             phi, shifted_read(m, tuple(-v for v in o), grid_shape, fill=jnp.inf)
         )
 
+    if not finalize:
+        return phi
     # extrapolate into solids (particlelevelset.cpp:127-139)
     phi = jnp.where(
         (phi < 0.5 * dx) & (solid_center_phi < 0), -0.5 * jnp.float32(dx), phi

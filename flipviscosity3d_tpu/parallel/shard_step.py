@@ -96,7 +96,13 @@ def make_spec(cfg: SimConfig, n: int, halo_width: int = 6,
     """`mig` overrides the per-direction migration-buffer rows (default
     max(256, per_shard/4)); size it above the worst per-substep face
     crossing of the scene — overflow drops particles (counted in
-    bucket_overflow), it never corrupts stayers."""
+    bucket_overflow), it never corrupts stayers.
+
+    With cfg.particle_engine='pallas' the default halo widens from 6 to 8
+    so the local slab extent B + 2H stays a multiple of the engine's 8^3
+    tile (pass an explicit tile-multiple halo_width to override)."""
+    if cfg.particle_engine == "pallas" and halo_width == 6:
+        halo_width = 8
     if cfg.isize % n:
         raise ValueError(f"isize {cfg.isize} not divisible by {n} shards")
     B = cfg.isize // n
@@ -285,19 +291,71 @@ def _substep(ss_pos, ss_vel, ss_alive, u, v, w, static, dt, cfg: SimConfig,
     alive = ss_alive
     alive_f = alive.astype(jnp.float32)
 
-    # ---------------- pass A: local sort ----------------
-    keys = _local_keys(px, py, pz, alive, dx, local_shape)
-    stream = stream_sort_keys(keys, (px, py, pz, vx, vy, vz, alive_f),
-                              local_shape)
-    spx, spy, spz = stream.sorted[0], stream.sorted[1], stream.sorted[2]
-    svx, svy, svz = stream.sorted[3], stream.sorted[4], stream.sorted[5]
-    salive = stream.sorted[6] > 0.5
-
+    # ---------------- pass A ----------------
+    # Two shard-local engines (cfg.particle_engine):
+    # - "stream" (default): one local sort + segmented-scan transfers.
+    # - "pallas": the tile-block one-hot MXU engine, SORT-FREE here — the
+    #   migration-shuffled local ordering goes straight through budget
+    #   visit plans (plan_pass_a) with in-kernel SDF ranks, exactly the
+    #   single-device stale pass A. Dead/padding particles carry the _IMAX
+    #   key (the plan builders' pad convention), so they match no one-hot
+    #   and contribute nothing; they are excluded from the overflow count.
+    #   Requires B and H to be multiples of the 8^3 tile (make_spec
+    #   chooses halo_width=8 for this engine).
     max_dist = jnp.float32(3.0 * dx)
-    liquid_phi, p2g_sums = st.p2g_sdf_stream(
-        stream, local_shape, dx, cfg.particle_radius, solid_center,
-        face_shapes, finalize=False,
-    )
+    use_pallas = cfg.particle_engine == "pallas"
+    overflow_pa = jnp.int32(0)
+    if use_pallas:
+        from ..ops import pallas_particles as pp
+
+        pp.check_grid(local_shape)
+        cap = cfg.sdf_capacity or cfg.bucket_capacity
+        # local tile-key sort (dead rows carry _IMAX, the plan builders'
+        # pad convention, and sort last): migration leaves the per-shard
+        # arrays spatially shuffled, and unsorted chunks overflow the
+        # budget plans' distinct-tile cap. The stream engine pays the same
+        # per-substep local sort (stream_sort_keys above).
+        key_raw = jnp.where(
+            alive,
+            pp.key_of_position(jnp.stack([px, py, pz], axis=1), dx,
+                               local_shape),
+            jnp.iinfo(jnp.int32).max)
+        ops = lax.sort(
+            (key_raw, px, py, pz, vx, vy, vz, alive_f),
+            num_keys=1, is_stable=True)
+        key_p = ops[0]
+        spx, spy, spz = ops[1], ops[2], ops[3]
+        svx, svy, svz = ops[4], ops[5], ops[6]
+        salive = ops[7] > 0.5
+        pos_l = jnp.stack([spx, spy, spz], axis=1)
+        vel_l = jnp.stack([svx, svy, svz], axis=1)
+        gplan_a, splan_a = pp.plan_pass_a(
+            key_p, px.shape[0], local_shape, cfg.pallas_passa_budget,
+            cfg.pallas_passa_factor)
+        payload_a = pp.stale_payload(pos_l, vel_l, key_p, local_shape)
+        sums, tbl = pp.scatter_p2g_table(
+            splan_a.tabs, splan_a.lockeys, payload_a, local_shape, dx,
+            cap, terms=cfg.pallas_split_terms, inkernel_rank=True)
+        liquid_phi = pp.liquid_sdf_from_fields(
+            pp.table_fields(tbl, local_shape, cap), local_shape, dx,
+            cfg.particle_radius, solid_center, finalize=False)
+        p2g_sums = pp.p2g_combine(sums, local_shape, face_shapes)
+        n_dead = jnp.sum((~alive).astype(jnp.int32))
+        overflow_pa = (
+            pp.table_rank_overflow(tbl, local_shape, cap)
+            + jnp.sum((~gplan_a.covered).astype(jnp.int32)) - n_dead)
+    else:
+        keys = _local_keys(px, py, pz, alive, dx, local_shape)
+        stream = stream_sort_keys(keys, (px, py, pz, vx, vy, vz, alive_f),
+                                  local_shape)
+        spx, spy, spz = stream.sorted[0], stream.sorted[1], stream.sorted[2]
+        svx, svy, svz = stream.sorted[3], stream.sorted[4], stream.sorted[5]
+        salive = stream.sorted[6] > 0.5
+
+        liquid_phi, p2g_sums = st.p2g_sdf_stream(
+            stream, local_shape, dx, cfg.particle_radius, solid_center,
+            face_shapes, finalize=False,
+        )
     # fold scatter-shaped halo contributions onto owners, refresh halos
     liquid_phi = halo.halo_reduce(liquid_phi, AXIS, H, op="min",
                                   reset=max_dist)
@@ -483,11 +541,26 @@ def _substep(ss_pos, ss_vel, ss_alive, u, v, w, static, dt, cfg: SimConfig,
     saved_w = jnp.where(weight_w == 0, 0.0, saved_w)
 
     # ---------------- G2P + advection ----------------
-    (nu, ou), (nv, ov), (nw, ow) = st.sample_mac_at(
-        spx, spy, spz, stream.key,
-        [u_new, saved_u], [v_new, saved_v], [w_new, saved_w], dx,
-        local_shape,
-    )
+    if use_pallas:
+        from ..ops import pallas_particles as pp
+
+        cols_a = pp.build_mac_columns(
+            [u_new, saved_u], [v_new, saved_v], [w_new, saved_w],
+            local_shape)
+        pay_a = jnp.concatenate([payload_a[0:3], payload_a[7:10]], axis=0)
+        gm = pp.gather_mac(
+            gplan_a.tabs, gplan_a.lockeys, pay_a, cols_a,
+            px.shape[0], dx, 2, terms=cfg.pallas_split_terms)
+        cov = gplan_a.covered
+        nu, ou = jnp.where(cov, gm[0], svx), jnp.where(cov, gm[3], svx)
+        nv, ov = jnp.where(cov, gm[1], svy), jnp.where(cov, gm[4], svy)
+        nw, ow = jnp.where(cov, gm[2], svz), jnp.where(cov, gm[5], svz)
+    else:
+        (nu, ou), (nv, ov), (nw, ow) = st.sample_mac_at(
+            spx, spy, spz, stream.key,
+            [u_new, saved_u], [v_new, saved_v], [w_new, saved_w], dx,
+            local_shape,
+        )
     r = jnp.float32(cfg.ratio_pic_flip)
     vel_x = r * nu + (1.0 - r) * (svx + nu - ou)
     vel_y = r * nv + (1.0 - r) * (svy + nv - ov)
@@ -504,11 +577,33 @@ def _substep(ss_pos, ss_vel, ss_alive, u, v, w, static, dt, cfg: SimConfig,
         & (my >= 0) & (my < ext[1])
         & (mz >= 0) & (mz < ext[2])
     )
-    key_m = _local_keys(mx, my, mz, salive, dx, local_shape)
-    (v2x,), (v2y,), (v2z,) = st.sample_mac_at(
-        mx, my, mz, key_m, [u_new], [v_new], [w_new], dx, local_shape,
-        valid=inside_m,
-    )
+    if use_pallas:
+        key_m = jnp.where(
+            salive,
+            pp.key_of_position(
+                jnp.stack([mx, my, mz], axis=1), dx, local_shape),
+            jnp.iinfo(jnp.int32).max)
+        plan_m = pp.plan_midpoint_visits(
+            key_m, px.shape[0], local_shape,
+            cfg.pallas_midpoint_budget, cfg.pallas_midpoint_factor)
+        pay_b = pp.gather_payload(mx, my, mz, key_m, local_shape)
+        gmb = pp.gather_mac(
+            plan_m.tabs, plan_m.lockeys, pay_b, cols_a[:, :56],
+            px.shape[0], dx, 1, terms=cfg.pallas_split_terms)
+        # same fallback order as core/step._step_pallas: outside-domain
+        # midpoints sample 0; uncovered particles advect ballistically
+        covm = plan_m.covered
+        v2x = jnp.where(covm, jnp.where(inside_m, gmb[0], 0.0), vel_x)
+        v2y = jnp.where(covm, jnp.where(inside_m, gmb[1], 0.0), vel_y)
+        v2z = jnp.where(covm, jnp.where(inside_m, gmb[2], 0.0), vel_z)
+        overflow_pa = overflow_pa + jnp.sum(
+            ((~plan_m.covered) & salive).astype(jnp.int32))
+    else:
+        key_m = _local_keys(mx, my, mz, salive, dx, local_shape)
+        (v2x,), (v2y,), (v2z,) = st.sample_mac_at(
+            mx, my, mz, key_m, [u_new], [v_new], [w_new], dx, local_shape,
+            valid=inside_m,
+        )
     npx = spx + dt * v2x
     npy = spy + dt * v2y
     npz = spz + dt * v2z
@@ -541,7 +636,8 @@ def _substep(ss_pos, ss_vel, ss_alive, u, v, w, static, dt, cfg: SimConfig,
         viscosity_iterations=visc_iters,
         viscosity_residual=visc_res,
         liquid_cells=lax.psum(fluid_owned, AXIS),
-        bucket_overflow=lax.psum(n_lost, AXIS),  # migration overflow
+        # migration drops + pallas-engine plan/table fallbacks
+        bucket_overflow=lax.psum(n_lost + overflow_pa, AXIS),
     )
     return new_pos, new_vel, new_alive, u_new, v_new, w_new, diag
 
@@ -832,6 +928,9 @@ def advance_sharded(ss: ShardedSim, dt, cfg: SimConfig, spec: SlabSpec,
         out_specs=((sharded,) * 6
                    + (jax.tree.map(lambda _: rep, StepDiagnostics(
                        *([0] * 8))),)),
+        # pallas_call out_shapes carry no vma annotation; the varying-across
+        # check cannot see through them (pallas engine per slab)
+        check_vma=False,
     )(
         ss.pos, ss.vel, ss.alive, ss.u, ss.v, ss.w,
         ss.solid_center, ss.solid_phi, ss.weight_u, ss.weight_v,

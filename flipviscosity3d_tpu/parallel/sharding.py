@@ -41,6 +41,29 @@ def make_mesh(n_devices: int | None = None, axis: str = "x") -> Mesh:
     return Mesh(np.array(devices), (axis,))
 
 
+def make_slab_mesh(n_hosts: int, chips_per_host: int,
+                   axis: str = "slab") -> Mesh:
+    """Multi-host (DCN) mesh for the slab pipeline (docs/DCN.md).
+
+    One named axis spans both interconnects: devices are ordered
+    HOST-MAJOR so slabs [h*C, (h+1)*C) land on host h, making every
+    nearest-neighbor slab exchange an ICI hop except the n_hosts-1 host
+    boundaries, which ride DCN. The slab pipeline's shard_map code needs
+    NO changes — collective semantics are identical; only placement
+    differs. On a real multi-host pod call jax.distributed.initialize()
+    first; jax.devices() is already globally host-major there, and on the
+    CPU test backend (xla_force_host_platform_device_count) the flat
+    device list stands in for the pod."""
+    n = n_hosts * chips_per_host
+    devices = jax.devices()
+    if len(devices) < n:
+        raise RuntimeError(
+            f"need {n} devices ({n_hosts} hosts x {chips_per_host}), "
+            f"have {len(devices)}")
+    grid = np.array(devices[:n]).reshape(n_hosts, chips_per_host)
+    return Mesh(grid.reshape(-1), (axis,))
+
+
 def grid_sharding(mesh: Mesh, shape, axis: str = "x") -> NamedSharding:
     """Every 3D grid shards along the SAME axis (i) so stencils become
     one-cell halo exchanges instead of cross-axis reshards. The staggered/

@@ -175,3 +175,60 @@ def test_shard_step_inviscid(scene):
     a = np.sort(np.asarray(sstate.pos), axis=0)
     b = np.sort(pos_m, axis=0)
     np.testing.assert_allclose(a, b, atol=5e-4)
+
+
+def test_dcn_slab_mesh_matches_flat_mesh(scene):
+    """docs/DCN.md plumbing: the host-major slab mesh (make_slab_mesh,
+    2 virtual hosts x 4 chips standing in for a multi-host pod) must run
+    the identical shard_map program — same substeps, same iteration
+    counts, same particles — as the flat single-host mesh. On real
+    hardware only device PLACEMENT differs (host boundaries ride DCN)."""
+    from flipviscosity3d_tpu.parallel.sharding import make_slab_mesh
+
+    cfg, state = scene
+    mesh_flat = Mesh(np.array(jax.devices()[:NDEV]), (sh.AXIS,))
+    mesh_dcn = make_slab_mesh(2, NDEV // 2, axis=sh.AXIS)
+    assert mesh_dcn.shape[sh.AXIS] == NDEV
+
+    spec = sh.make_spec(cfg, NDEV, n_particles=state.pos.shape[0])
+    ss_f = sh.shard_simstate(state, cfg, spec)
+    ss_d = sh.shard_simstate(state, cfg, spec)
+
+    ss_f, diag_f = sh.advance_sharded(ss_f, 0.01, cfg, spec, mesh_flat)
+    ss_d, diag_d = sh.advance_sharded(ss_d, 0.01, cfg, spec, mesh_dcn)
+    assert int(diag_f.substeps) == int(diag_d.substeps)
+    assert int(diag_f.pressure_iterations) == int(diag_d.pressure_iterations)
+    pos_f, _ = sh.gather_particles(ss_f)
+    pos_d, _ = sh.gather_particles(ss_d)
+    np.testing.assert_allclose(
+        np.sort(pos_f, axis=0), np.sort(pos_d, axis=0), atol=1e-5)
+
+
+def test_shard_step_pallas_engine_matches_single_device(scene):
+    """particle_engine='pallas' under advance_sharded (sort-free budget
+    plans + in-kernel ranks per slab, halo'd through the same fold/
+    exchange machinery) must reproduce the single-device pallas engine:
+    same substeps/iterations, same particle multiset."""
+    cfg, state = scene
+    cfg = dataclasses.replace(cfg, particle_engine="pallas")
+
+    mesh = Mesh(np.array(jax.devices()[:NDEV]), (sh.AXIS,))
+    spec = sh.make_spec(cfg, NDEV, n_particles=state.pos.shape[0])
+    assert (spec.B + 2 * spec.H) % 8 == 0
+    ss = sh.shard_simstate(state, cfg, spec)
+
+    sstate, sdiag = step_mod.advance(state, 0.01, cfg)
+    ss, mdiag = sh.advance_sharded(ss, 0.01, cfg, spec, mesh)
+    assert int(sdiag.substeps) == int(mdiag.substeps)
+    assert int(mdiag.bucket_overflow) == 0
+    assert abs(
+        int(sdiag.pressure_iterations) - int(mdiag.pressure_iterations)
+    ) <= 1
+
+    pos_m, _ = sh.gather_particles(ss)
+    pos_s = np.asarray(sstate.pos)
+    assert pos_m.shape == pos_s.shape
+    np.testing.assert_allclose(
+        np.sort(pos_s, axis=0), np.sort(pos_m, axis=0), atol=5e-4)
+    u_m = sh.gather_grid_u(ss, spec)
+    np.testing.assert_allclose(u_m, np.asarray(sstate.u), atol=5e-4)
