@@ -722,10 +722,8 @@ def table_rank_overflow(tbl_std, grid_shape, cap):
     return jnp.sum(jnp.maximum(counts - cap, 0.0)).astype(jnp.int32)
 
 
-def p2g_combine(sums, grid_shape, face_shapes):
-    """Per-cell (I,J,K,108) sums -> [(val_sum, w_sum)] per component, by
-    static shifted accumulation (face f = cell + offset receives the cell's
-    sums), exactly like ops/stream_transfers.p2g_sdf_stream's second half."""
+def _combine_cells(sums, face_shapes):
+    """The shifted-accumulation body of p2g_combine on one cell block."""
     from .grids import shifted_read
 
     acc = []
@@ -741,6 +739,55 @@ def p2g_combine(sums, grid_shape, face_shapes):
             vs = vs + shifted_read(sums[..., 54 + lane], neg, fs)
         acc.append((vs, ws))
     return acc
+
+
+def p2g_combine(sums, grid_shape, face_shapes, i_slabs=None):
+    """Per-cell (I,J,K,108) sums -> [(val_sum, w_sum)] per component, by
+    static shifted accumulation (face f = cell + offset receives the cell's
+    sums), exactly like ops/stream_transfers.p2g_sdf_stream's second half.
+
+    The per-lane shifted reads make XLA materialize a LANE-MAJOR copy of
+    `sums` — 6.75 GB live next to the kernel's 8 GB output at 256^3
+    (hardware OOM, round 5). i_slabs > 1 runs the combine over i-axis cell
+    slabs with a 1-row halo (the offsets reach +-1), so the transpose
+    copy materializes one ~I/i_slabs slice at a time; face rows paste
+    disjointly. None: auto — 8 slabs at >= 2^24 cells, else 1 (the fused
+    path, unchanged at bench scale)."""
+    isz = grid_shape[0]
+    if i_slabs is None:
+        big = grid_shape[0] * grid_shape[1] * grid_shape[2] >= (1 << 24)
+        i_slabs = 8 if (big and isz % 8 == 0) else 1
+    if i_slabs == 1:
+        return _combine_cells(sums, face_shapes)
+
+    bw = isz // i_slabs
+    out = [
+        (jnp.zeros(fs, jnp.float32), jnp.zeros(fs, jnp.float32))
+        for fs in face_shapes
+    ]
+    for s in range(i_slabs):
+        i0, i1 = s * bw, (s + 1) * bw
+        lo, hi = max(i0 - 1, 0), min(i1 + 1, isz)
+        cell = sums[lo:hi]
+        local_fs = (
+            (hi - lo + 1,) + face_shapes[0][1:],
+            (hi - lo,) + face_shapes[1][1:],
+            (hi - lo,) + face_shapes[2][1:],
+        )
+        part = _combine_cells(cell, local_fs)
+        off = i0 - lo
+        last = s == i_slabs - 1
+        for comp in range(3):
+            # owned face rows: [i0, i1) (+ the final I row of the u grid,
+            # whose contributions come from cell I-1, on the last slab)
+            rows = bw + (1 if (comp == 0 and last) else 0)
+            vs, ws = out[comp]
+            pv, pw = part[comp]
+            out[comp] = (
+                vs.at[i0:i0 + rows].set(pv[off:off + rows]),
+                ws.at[i0:i0 + rows].set(pw[off:off + rows]),
+            )
+    return out
 
 
 def liquid_sdf_from_fields(fields, grid_shape, dx, radius, solid_center_phi,

@@ -28,6 +28,12 @@ cd "$(dirname "$0")/.."
   BENCH_ENGINE=pallas BENCH_PUSHBACK=kernel BENCH_SDF_CAPACITY=8 \
     timeout 4000 python bench.py
 
+  echo "--- 3c. bench: pallas + stale pass A (resort 1/frame) ---"
+  BENCH_ENGINE=pallas BENCH_PASS_A=stale timeout 4000 python bench.py
+
+  echo "--- 3d. solver microbench (direct solve wall, 128^3) ---"
+  RES=128 timeout 4000 python scripts/solver_microbench.py
+
   echo "--- 4. bench: table engine (round-2 reference point) ---"
   BENCH_ENGINE=table timeout 4000 python bench.py
 

@@ -477,3 +477,32 @@ def test_step_pallas_stale_matches_sort():
         np.asarray(new_a.u), np.asarray(new_b.u), rtol=1e-4, atol=1e-5)
     assert int(diag_a["pressure_iterations"]) == int(
         diag_b["pressure_iterations"])
+
+
+def test_step_pallas_split_gather_matches_fused():
+    """pallas_split_gather=True (two 54-lane pass-A images, the >=256^3
+    memory shape) must reproduce the fused 108-lane gather exactly."""
+    sim_a = make_sim("pallas", pallas_split_gather=True)
+    sim_b = make_sim("pallas", pallas_split_gather=False)
+    state = sim_a.state
+    dt = jnp.float32(0.005)
+    new_a, diag_a = step_mod.step(state, dt, sim_a.cfg)
+    new_b, diag_b = step_mod.step(state, dt, sim_b.cfg)
+    np.testing.assert_allclose(
+        np.asarray(new_a.pos), np.asarray(new_b.pos), rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(
+        np.asarray(new_a.vel), np.asarray(new_b.vel), rtol=1e-6, atol=1e-6)
+
+
+def test_p2g_combine_slabbed_matches_fused():
+    """The i-slab-chunked combine (the 256^3 memory shape) must equal the
+    fused path bit-exactly (disjoint row pastes, 1-row halo)."""
+    shape = (16, 16, 16)
+    fs = ((17, 16, 16), (16, 17, 16), (16, 16, 17))
+    rng = np.random.default_rng(5)
+    sums = jnp.asarray(rng.standard_normal((*shape, 108)).astype(np.float32))
+    a = pp.p2g_combine(sums, shape, fs, i_slabs=1)
+    b = pp.p2g_combine(sums, shape, fs, i_slabs=4)
+    for (va, wa), (vb, wb) in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+        np.testing.assert_array_equal(np.asarray(wa), np.asarray(wb))
