@@ -768,7 +768,11 @@ def p2g_combine(sums, grid_shape, face_shapes, i_slabs=None):
     for s in range(i_slabs):
         i0, i1 = s * bw, (s + 1) * bw
         lo, hi = max(i0 - 1, 0), min(i1 + 1, isz)
-        cell = sums[lo:hi]
+        # the barrier pins the slice to the kernel output's natural
+        # lane-minor layout; without it XLA hoists ONE lane-major copy of
+        # the whole array above the slices (defeating the chunking —
+        # observed on hardware at 256^3)
+        cell = lax.optimization_barrier(sums[lo:hi])
         local_fs = (
             (hi - lo + 1,) + face_shapes[0][1:],
             (hi - lo,) + face_shapes[1][1:],

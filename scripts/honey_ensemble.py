@@ -44,7 +44,7 @@ def run_stats(dirpath, frames):
     return np.array(coms), np.array(ystds)
 
 
-def tpu_stats(frames, res=64, viscosity=20.0):
+def tpu_stats(frames, res=64, viscosity=20.0, engine=None):
     import jax
 
     jax.config.update("jax_compilation_cache_dir",
@@ -54,8 +54,17 @@ def tpu_stats(frames, res=64, viscosity=20.0):
     from flipviscosity3d_tpu import FluidSimulation
     from flipviscosity3d_tpu.io import trianglemesh as tm
 
+    if engine is None:
+        # the committed bench default (the engine whose parity is claimed)
+        marker = os.path.join(os.path.dirname(__file__), "..",
+                              "BENCH_DEFAULT")
+        engine = "table"
+        if os.path.exists(marker):
+            engine = open(marker).read().split()[0].strip()
+    print(f"# tpu honey run: engine={engine}", flush=True)
     sim = FluidSimulation()
-    sim.initialize(res, res, res, 1.0 / res, bucket_capacity=24)
+    sim.initialize(res, res, res, 1.0 / res, bucket_capacity=24,
+                   particle_engine=engine)
     sim.add_boundary(
         tm.load_ply("/root/reference/sample_meshes/sphere_large.ply"),
         inverted=True)
@@ -80,6 +89,14 @@ def main():
     ap.add_argument("--frames", type=int, default=300)
     ap.add_argument("--resolution", type=int, default=64)
     ap.add_argument("--skip-tpu", action="store_true")
+    ap.add_argument("--engine", default=None,
+                    help="TPU particle engine (default: BENCH_DEFAULT)")
+    ap.add_argument(
+        "--saved-envelope", default=None,
+        help="reuse a previously-computed ensemble envelope JSON (the "
+        "7-seed reference runs are ~70 CPU-minutes; the envelope is a "
+        "property of the REFERENCE and its seeds, not of our engine, so "
+        "an engine re-validation only needs the baseline run + this file")
     ap.add_argument("--out", default="docs/honey_ensemble.json")
     args = ap.parse_args()
 
@@ -87,22 +104,34 @@ def main():
     base_com, base_ystd = run_stats(
         os.path.join(args.ref_root, args.baseline_dir), args.frames)
 
-    seeds = [int(s) for s in args.seeds.split(",")]
-    env = []        # (n_seeds, frames) COM divergence from baseline, cells
-    ystd_env = []   # (n_seeds, frames) sigma_y of each perturbed run
-    for s in seeds:
-        com, ystd = run_stats(
-            os.path.join(args.ref_root, f"honey64_s{s}"), args.frames)
-        env.append(np.linalg.norm(com - base_com, axis=1) * res)
-        ystd_env.append(ystd)
-    env = np.array(env)
-    ystd_env = np.array(ystd_env)
-    env_max = env.max(axis=0)
-    env_med = np.median(env, axis=0)
+    if args.saved_envelope:
+        with open(args.saved_envelope) as f:
+            saved = json.load(f)
+        env_max = np.array(
+            saved.get("ref_envelope_max_cells") or saved["ref_env_max"])
+        env_med = np.array(
+            saved.get("ref_envelope_median_cells") or saved["ref_env_med"])
+        ystd_env = np.array(
+            [saved["ref_ystd_min"], saved["ref_ystd_max"]])
+        n_seeds = saved["n_seeds"]
+    else:
+        seeds = [int(s) for s in args.seeds.split(",")]
+        env = []       # (n_seeds, frames) COM divergence from base, cells
+        ystd_env = []  # (n_seeds, frames) sigma_y of each perturbed run
+        for s in seeds:
+            com, ystd = run_stats(
+                os.path.join(args.ref_root, f"honey64_s{s}"), args.frames)
+            env.append(np.linalg.norm(com - base_com, axis=1) * res)
+            ystd_env.append(ystd)
+        env = np.array(env)
+        ystd_env = np.array(ystd_env)
+        env_max = env.max(axis=0)
+        env_med = np.median(env, axis=0)
+        n_seeds = len(seeds)
 
     out = dict(
         frames=args.frames,
-        n_seeds=len(seeds),
+        n_seeds=n_seeds,
         ref_envelope_max_cells=[round(float(v), 3) for v in env_max],
         ref_envelope_median_cells=[round(float(v), 3) for v in env_med],
         ref_ystd_min=[round(float(v), 4) for v in ystd_env.min(axis=0)],
