@@ -722,9 +722,13 @@ def table_rank_overflow(tbl_std, grid_shape, cap):
     return jnp.sum(jnp.maximum(counts - cap, 0.0)).astype(jnp.int32)
 
 
-def _combine_cells(sums, face_shapes):
-    """The shifted-accumulation body of p2g_combine on one cell block."""
+def _combine_cells(sums, face_shapes, lane_leading=False):
+    """The shifted-accumulation body of p2g_combine on one cell block.
+    lane_leading=True reads lanes as sums[lane] (pre-transposed input)."""
     from .grids import shifted_read
+
+    def lane_of(idx):
+        return sums[idx] if lane_leading else sums[..., idx]
 
     acc = []
     for comp in range(3):
@@ -735,8 +739,8 @@ def _combine_cells(sums, face_shapes):
             o = p2g_abs_offset(comp, oidx)
             neg = tuple(-v for v in o)
             lane = comp * 18 + oidx
-            ws = ws + shifted_read(sums[..., lane], neg, fs)
-            vs = vs + shifted_read(sums[..., 54 + lane], neg, fs)
+            ws = ws + shifted_read(lane_of(lane), neg, fs)
+            vs = vs + shifted_read(lane_of(54 + lane), neg, fs)
         acc.append((vs, ws))
     return acc
 
@@ -768,17 +772,20 @@ def p2g_combine(sums, grid_shape, face_shapes, i_slabs=None):
     for s in range(i_slabs):
         i0, i1 = s * bw, (s + 1) * bw
         lo, hi = max(i0 - 1, 0), min(i1 + 1, isz)
-        # the barrier pins the slice to the kernel output's natural
-        # lane-minor layout; without it XLA hoists ONE lane-major copy of
-        # the whole array above the slices (defeating the chunking —
-        # observed on hardware at 256^3)
-        cell = lax.optimization_barrier(sums[lo:hi])
+        # EXPLICIT per-slab transpose to lane-leading, then leading-index
+        # lane reads. Leaving the lanes minor and slicing them makes XLA's
+        # layout assignment hoist ONE lane-major copy of the whole array
+        # above the slices (defeating the chunking; an optimization_barrier
+        # on the slice does not stop the hoist — both observed on hardware
+        # at 256^3). The explicit moveaxis is the same total traffic the
+        # implicit copy paid, one ~0.9 GB slab at a time.
+        cell = jnp.moveaxis(sums[lo:hi], -1, 0)
         local_fs = (
             (hi - lo + 1,) + face_shapes[0][1:],
             (hi - lo,) + face_shapes[1][1:],
             (hi - lo,) + face_shapes[2][1:],
         )
-        part = _combine_cells(cell, local_fs)
+        part = _combine_cells(cell, local_fs, lane_leading=True)
         off = i0 - lo
         last = s == i_slabs - 1
         for comp in range(3):
