@@ -511,7 +511,67 @@ def _p2g_chunk_values(data, local, dx):
     return m1, jnp.concatenate([wgt, wgt * vsel], axis=0)
 
 
-def _table_chunk_values(data, local, rank, cap, with_counts):
+SUML = 128  # folded sums lanes per cell (N_P2G=108 padded to the lane width)
+
+
+def _p2g_chunk_values_folded(data, local, dx):
+    """K-folded variant of _p2g_chunk_values, shaped for a direct
+    (8, 8, 8*SUML) sums block (the >= 2^24-cell memory shape).
+
+    Same Mosaic constraint as _table_chunk_values: the (W, N_P2G) dot
+    result cannot shape-cast to a K-folded block in-kernel, so the cell
+    one-hot splits into the (li, lj) sublane pair (a64, 64 x C) and the
+    lk factor folds into the value operand: lane t = lk*SUML + f carries
+    lane f's Wyvill factor gated on lk_p == lk (zero for f >= 108). The
+    dot yields (64, 8*SUML) — a pure sublane-split reshape from the
+    block. MACs grow 64*1024/512/108 = 1.19x over the unfolded dot;
+    only grids >= 2^24 cells pay it."""
+    px, py, pz = data[0:1], data[1:2], data[2:3]
+    vx, vy, vz = data[3:4], data[4:5], data[5:6]
+    gi, gj, gk = data[7:8], data[8:9], data[9:10]
+
+    sub64 = jax.lax.broadcasted_iota(
+        jnp.int32, (TILE[0] * TILE[1], C), 0).astype(jnp.float32)
+    row64 = jnp.floor(local * (1.0 / TILE[2]))
+    a64 = jnp.where(row64 == sub64, 1.0, 0.0)
+    lk_p = local - row64 * TILE[2]                    # (1, C)
+
+    lane_t = jax.lax.broadcasted_iota(
+        jnp.int32, (TILE[2] * SUML, C), 0)
+    lkk = (lane_t // SUML).astype(jnp.float32)
+    f = lane_t % SUML
+    f54 = f % 54
+    comp = f54 // 18
+    oidx = f54 % 18
+    ox = (oidx // 9).astype(jnp.float32)
+    oy = ((oidx // 3) % 3 - 1).astype(jnp.float32)
+    oz = (oidx % 3 - 1).astype(jnp.float32)
+    is_u = (comp == 0).astype(jnp.float32)
+    is_v = (comp == 1).astype(jnp.float32)
+    is_w = (comp == 2).astype(jnp.float32)
+    ax_ = is_u * ox + is_v * oy + is_w * oy
+    ay_ = is_u * oy + is_v * ox + is_w * oz
+    az_ = is_u * oz + is_v * oz + is_w * ox
+    sx = 0.5 * (1.0 - is_u)
+    sy = 0.5 * (1.0 - is_v)
+    sz = 0.5 * (1.0 - is_w)
+    fx = (gi + ax_) * dx - (px - sx * dx)
+    fy = (gj + ay_) * dx - (py - sy * dx)
+    fz = (gk + az_) * dx - (pz - sz * dx)
+    d2 = fx * fx + fy * fy + fz * fz
+    r2 = jnp.float32(dx * dx)
+    c1 = jnp.float32((4.0 / 9.0) / dx**6)
+    c2 = jnp.float32((17.0 / 9.0) / dx**4)
+    c3 = jnp.float32((22.0 / 9.0) / dx**2)
+    wgt = 1.0 - c1 * d2 * d2 * d2 + c2 * d2 * d2 - c3 * d2
+    wgt = jnp.where(d2 < r2, wgt, 0.0)
+    vsel = is_u * vx + is_v * vy + is_w * vz
+    val = jnp.where(f < 54, wgt, wgt * vsel)
+    rv = jnp.where((f < 2 * 54) & (lk_p == lkk), val, 0.0)
+    return a64, rv
+
+
+def _table_chunk_values(data, local, rank, cap, with_counts, capl=None):
     """SDF table factors, shaped for a direct (8, 8, 8*capl) block.
 
     The obvious (W, cap4) dot result cannot reshape to the K-folded
@@ -522,12 +582,15 @@ def _table_chunk_values(data, local, rank, cap, with_counts):
     slot-value operand, so the dot yields (64, 8*capl) — a pure
     sublane-split reshape away from the block. Same MACs.
 
-    with_counts appends 8 lanes per cell (lane capl-8 counts EVERY
-    particle homed in the cell regardless of rank — the in-kernel rank's
-    cross-visit base and the rank-overflow diagnostic; the rest pad to a
-    4-multiple). Returns (a64 (64, C), rv (8*capl, C))."""
+    with_counts appends a count lane at cap*4 (counts EVERY particle
+    homed in the cell regardless of rank — the in-kernel rank's
+    cross-visit base and the rank-overflow diagnostic). capl may be
+    padded past cap*4 (+count): Mosaic requires the (8, 8, 8*capl) out
+    block's minor dim divisible by 128, i.e. capl % 16 == 0; the pad
+    lanes stay zero. Returns (a64 (64, C), rv (8*capl, C))."""
     px, py, pz = data[0:1], data[1:2], data[2:3]
-    capl = cap * 4 + (8 if with_counts else 0)
+    if capl is None:
+        capl = cap * 4 + (8 if with_counts else 0)
     sub64 = jax.lax.broadcasted_iota(
         jnp.int32, (TILE[0] * TILE[1], C), 0).astype(jnp.float32)
     row64 = jnp.floor(local * (1.0 / TILE[2]))
@@ -552,7 +615,7 @@ def _table_chunk_values(data, local, rank, cap, with_counts):
 _RANK_SUB = 128   # in-kernel rank sub-block width (lane-register aligned)
 
 
-def _rank_from_accumulator(m1, a64, local, tbl2d, cap):
+def _rank_from_accumulator(m1, a64, local, tbl2d, cap, capl=None):
     """Per-particle within-cell rank for the stale-ordering scatter:
     cross-visit base read from the accumulator's count lanes + a
     within-chunk prefix count, all as one-hot MXU contractions (DESIGN.md
@@ -560,9 +623,11 @@ def _rank_from_accumulator(m1, a64, local, tbl2d, cap):
 
     m1 (W, C) cell one-hot, a64 (64, C) sublane-pair one-hot, local
     (1, C) tile-local keys, tbl2d (64, 8*capl) the accumulated table
-    block (sublane-merged view). All dots are 0/1 x 0/1 (terms=1, exact)
+    block (sublane-merged view; capl may carry Mosaic pad lanes past the
+    count lane at cap*4). All dots are 0/1 x 0/1 (terms=1, exact)
     except those against count values (terms=2, exact to 2^16)."""
-    capl = cap * 4 + 8
+    if capl is None:
+        capl = cap * 4 + 8
     # ---- cross-visit base: count lane per cell, factored (sub64, lk) ----
     li = jax.lax.broadcasted_iota(jnp.int32, (TILE[2] * capl, 8), 0)
     ki = jax.lax.broadcasted_iota(jnp.int32, (TILE[2] * capl, 8), 1)
@@ -602,10 +667,14 @@ def _rank_from_accumulator(m1, a64, local, tbl2d, cap):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("grid_shape", "dx", "cap", "terms", "inkernel_rank"))
+    static_argnames=(
+        "grid_shape", "dx", "cap", "terms", "inkernel_rank", "fold_sums"))
 def scatter_p2g_table(tabs, lockeys, payload, grid_shape, dx, cap,
-                      terms=3, inkernel_rank=False):
-    """-> (sums (I, J, K, N_P2G), table (I, J, K*capl)).
+                      terms=3, inkernel_rank=False, fold_sums=None):
+    """-> (sums, table (I, J, K*capl)).
+
+    sums is (I, J, K, N_P2G) standard 4D, or — when fold_sums (auto: at
+    >= 2^24 cells) — K-folded (I, J, K*SUML) with SUML=128 pad lanes.
 
     One grid step per (chunk, tile) visit: the chunk payload and the tile
     accumulator are both selected by prefetched index maps; the one-hot
@@ -620,10 +689,24 @@ def scatter_p2g_table(tabs, lockeys, payload, grid_shape, dx, cap,
     measured for 172 lanes at 128^3, ~11x its traffic floor — hardware,
     round 4). The SDF table's capl lanes FOLD INTO the K axis
     ((I, J, K*capl), minor dim always a lane multiple) rather than sit on
-    their own trailing axis: a trailing axis of 32 lanes pads 4x to 128 on
-    this chip, which at 256^3 was a fatal 8 GB for a 2 GB table plus
+    their own trailing axis: a trailing axis of 32 lanes pads 4x to 128
+    on this chip, which at 256^3 was a fatal 8 GB for a 2 GB table plus
     another 8 GB for its detile (hardware OOM, round 5); the folded form
-    is unpadded and needs no detile kernel at all.
+    is unpadded and needs no detile kernel at all. capl rounds up to a
+    16-multiple (Mosaic: the folded out block's minor dim 8*capl must be
+    divisible by 128 — without the pad, inkernel_rank's cap*4+8 raw capl
+    is lowering-rejected at any cap not on the 16 grid).
+
+    fold_sums applies the same K-fold to the sums output, padded to
+    SUML=128 lanes/cell. The point is not the padding (8 GB either way
+    at 256^3) but LAYOUT CONTAINMENT: against the 4D form, XLA's layout
+    assignment propagates the combine's lane-major preference through
+    p2g_combine's slices onto the whole array — one 6.75 GB transposed
+    copy live next to this kernel's 8 GB output (the round-5 256^3 OOM
+    that survived both slab-chunking and optimization_barrier). A 3D
+    K-folded source has no lane axis to re-lay, so the transpose can
+    only materialize per combine slab. Off (the default under 2^24
+    cells), the bench-scale path is byte-identical to round 4.
 
     inkernel_rank=True is the stale-ordering pass-A mode (tabs/lockeys
     from plan_pass_a's ScatterPlan, payload rank row ignored): within-cell
@@ -635,7 +718,10 @@ def scatter_p2g_table(tabs, lockeys, payload, grid_shape, dx, cap,
     nv = lockeys.shape[1] // C
     nt = tile_counts(grid_shape)
     dxf = float(dx)
-    capl = cap * 4 + (8 if inkernel_rank else 0)
+    capl = -(-(cap * 4 + (8 if inkernel_rank else 0)) // 16) * 16
+    if fold_sums is None:
+        fold_sums = (
+            grid_shape[0] * grid_shape[1] * grid_shape[2]) >= (1 << 24)
 
     def kernel(tabs_ref, lk_ref, pay_ref, sums_ref, tbl_ref):
         v = pl.program_id(0)
@@ -646,33 +732,54 @@ def scatter_p2g_table(tabs, lockeys, payload, grid_shape, dx, cap,
             tbl_ref[:] = jnp.zeros_like(tbl_ref)
 
         local = lk_ref[:]
-        m1, wv = _p2g_chunk_values(pay_ref[:], local, dxf)
         dims = (((1,), (1,)), ((), ()))
-        sums_ref[...] += onehot_dot(m1, wv, dims, terms=terms).reshape(
-            TILE[0], TILE[1], TILE[2], N_P2G)
+        if fold_sums:
+            a64s, rvs = _p2g_chunk_values_folded(pay_ref[:], local, dxf)
+            sums_ref[...] += onehot_dot(
+                a64s, rvs, dims, terms=terms).reshape(
+                    TILE[0], TILE[1], TILE[2] * SUML)
+            if inkernel_rank:
+                sub_w = jax.lax.broadcasted_iota(
+                    jnp.int32, (W, C), 0).astype(jnp.float32)
+                m1 = jnp.where(local == sub_w, 1.0, 0.0)
+        else:
+            m1, wv = _p2g_chunk_values(pay_ref[:], local, dxf)
+            sums_ref[...] += onehot_dot(m1, wv, dims, terms=terms).reshape(
+                TILE[0], TILE[1], TILE[2], N_P2G)
         if inkernel_rank:
             tbl2d = tbl_ref[...].reshape(TILE[0] * TILE[1], TILE[2] * capl)
             sub64 = jax.lax.broadcasted_iota(
                 jnp.int32, (TILE[0] * TILE[1], C), 0).astype(jnp.float32)
             a64 = jnp.where(
                 jnp.floor(local * (1.0 / TILE[2])) == sub64, 1.0, 0.0)
-            rank = _rank_from_accumulator(m1, a64, local, tbl2d, cap)
+            rank = _rank_from_accumulator(m1, a64, local, tbl2d, cap, capl)
         else:
             rank = pay_ref[6:7]
         a64, rv = _table_chunk_values(
-            pay_ref[:], local, rank, cap, inkernel_rank)
+            pay_ref[:], local, rank, cap, inkernel_rank, capl)
         tbl_ref[...] += onehot_dot(a64, rv, dims, terms=terms).reshape(
             TILE[0], TILE[1], TILE[2] * capl)
-
-    def sums_idx(v, t):
-        tile = t[v] & TV_MASK
-        return (tile // (nt[1] * nt[2]), (tile // nt[2]) % nt[1],
-                tile % nt[2], 0)
 
     def tbl_idx(v, t):
         tile = t[v] & TV_MASK
         return (tile // (nt[1] * nt[2]), (tile // nt[2]) % nt[1],
                 tile % nt[2])
+
+    if fold_sums:
+        sums_spec = pl.BlockSpec((TILE[0], TILE[1], TILE[2] * SUML), tbl_idx)
+        sums_shape = jax.ShapeDtypeStruct(
+            (grid_shape[0], grid_shape[1], grid_shape[2] * SUML),
+            jnp.float32)
+    else:
+        def sums_idx(v, t):
+            tile = t[v] & TV_MASK
+            return (tile // (nt[1] * nt[2]), (tile // nt[2]) % nt[1],
+                    tile % nt[2], 0)
+
+        sums_spec = pl.BlockSpec(
+            (TILE[0], TILE[1], TILE[2], N_P2G), sums_idx)
+        sums_shape = jax.ShapeDtypeStruct(
+            tuple(grid_shape) + (N_P2G,), jnp.float32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -682,14 +789,14 @@ def scatter_p2g_table(tabs, lockeys, payload, grid_shape, dx, cap,
             pl.BlockSpec((NPAY, C), lambda v, t: (0, t[nv + v])),
         ],
         out_specs=[
-            pl.BlockSpec((TILE[0], TILE[1], TILE[2], N_P2G), sums_idx),
+            sums_spec,
             pl.BlockSpec((TILE[0], TILE[1], TILE[2] * capl), tbl_idx),
         ],
     )
     return pl.pallas_call(
         kernel,
         out_shape=[
-            jax.ShapeDtypeStruct(tuple(grid_shape) + (N_P2G,), jnp.float32),
+            sums_shape,
             jax.ShapeDtypeStruct(
                 (grid_shape[0], grid_shape[1], grid_shape[2] * capl),
                 jnp.float32),
@@ -746,59 +853,73 @@ def _combine_cells(sums, face_shapes, lane_leading=False):
 
 
 def p2g_combine(sums, grid_shape, face_shapes, i_slabs=None):
-    """Per-cell (I,J,K,108) sums -> [(val_sum, w_sum)] per component, by
-    static shifted accumulation (face f = cell + offset receives the cell's
+    """Per-cell P2G sums -> [(val_sum, w_sum)] per component, by static
+    shifted accumulation (face f = cell + offset receives the cell's
     sums), exactly like ops/stream_transfers.p2g_sdf_stream's second half.
+    `sums` is the scatter kernel's K-folded (I, J, K*108) output (a 4D
+    (I, J, K, 108) form is also accepted and folded for free).
 
     The per-lane shifted reads make XLA materialize a LANE-MAJOR copy of
     `sums` — 6.75 GB live next to the kernel's 8 GB output at 256^3
-    (hardware OOM, round 5). i_slabs > 1 runs the combine over i-axis cell
-    slabs with a 1-row halo (the offsets reach +-1), so the transpose
-    copy materializes one ~I/i_slabs slice at a time; face rows paste
-    disjointly. None: auto — 8 slabs at >= 2^24 cells, else 1 (the fused
-    path, unchanged at bench scale)."""
+    (hardware OOM, round 5). i_slabs > 1 bounds that copy at one i-slab:
+    a lax.fori_loop dynamic-slices a (bw+2)-row window (the offsets reach
+    +-1), transposes it lane-leading IN the body, and pastes the owned
+    face rows. The loop is essential, not style: a static python loop's
+    per-slab transposes are transpose(slice(sums)) expressions that XLA
+    rewrites to slice(transpose(sums)) and CSEs into ONE whole-array
+    lane-major copy (observed on hardware at 256^3, both with and without
+    an optimization_barrier on the slice); a transpose of an
+    iteration-dependent dynamic-slice cannot be hoisted. u-grid rows
+    overlap one row per slab seam (both slabs compute it completely —
+    idempotent paste) so the body is iteration-uniform. None: auto — 8
+    slabs at >= 2^24 cells, else 1 (the fused path, unchanged at bench
+    scale)."""
     isz = grid_shape[0]
+    if sums.ndim == 4:
+        sums = sums.reshape(grid_shape[0], grid_shape[1], -1)
     if i_slabs is None:
         big = grid_shape[0] * grid_shape[1] * grid_shape[2] >= (1 << 24)
         i_slabs = 8 if (big and isz % 8 == 0) else 1
     if i_slabs == 1:
-        return _combine_cells(sums, face_shapes)
+        return _combine_cells(
+            sums.reshape(*grid_shape, -1), face_shapes)
 
     bw = isz // i_slabs
-    out = [
-        (jnp.zeros(fs, jnp.float32), jnp.zeros(fs, jnp.float32))
-        for fs in face_shapes
-    ]
-    for s in range(i_slabs):
-        i0, i1 = s * bw, (s + 1) * bw
-        lo, hi = max(i0 - 1, 0), min(i1 + 1, isz)
-        # EXPLICIT per-slab transpose to lane-leading, then leading-index
-        # lane reads. Leaving the lanes minor and slicing them makes XLA's
-        # layout assignment hoist ONE lane-major copy of the whole array
-        # above the slices (defeating the chunking; an optimization_barrier
-        # on the slice does not stop the hoist — both observed on hardware
-        # at 256^3). The explicit moveaxis is the same total traffic the
-        # implicit copy paid, one ~0.9 GB slab at a time.
-        cell = jnp.moveaxis(sums[lo:hi], -1, 0)
-        local_fs = (
-            (hi - lo + 1,) + face_shapes[0][1:],
-            (hi - lo,) + face_shapes[1][1:],
-            (hi - lo,) + face_shapes[2][1:],
-        )
+    win = bw + 2
+    local_fs = (
+        (win + 1,) + face_shapes[0][1:],
+        (win,) + face_shapes[1][1:],
+        (win,) + face_shapes[2][1:],
+    )
+
+    def body(s, out):
+        i0 = s * bw
+        start = jnp.clip(i0 - 1, 0, isz - win)
+        off = i0 - start  # 0 on the first slab, 2 on the last, else 1
+        slab = lax.dynamic_slice_in_dim(sums, start, win, axis=0)
+        cell = jnp.moveaxis(
+            slab.reshape(win, grid_shape[1], grid_shape[2], -1), -1, 0)
         part = _combine_cells(cell, local_fs, lane_leading=True)
-        off = i0 - lo
-        last = s == i_slabs - 1
+        new = []
         for comp in range(3):
-            # owned face rows: [i0, i1) (+ the final I row of the u grid,
-            # whose contributions come from cell I-1, on the last slab)
-            rows = bw + (1 if (comp == 0 and last) else 0)
-            vs, ws = out[comp]
+            # owned face rows [i0, i0+bw) — plus, for the u grid, row
+            # i0+bw, which the window computes completely (cells i0+bw-1
+            # and i0+bw are both inside it); the next slab repastes the
+            # same complete value
+            rows = bw + (1 if comp == 0 else 0)
             pv, pw = part[comp]
-            out[comp] = (
-                vs.at[i0:i0 + rows].set(pv[off:off + rows]),
-                ws.at[i0:i0 + rows].set(pw[off:off + rows]),
-            )
-    return out
+            vs, ws = out[2 * comp], out[2 * comp + 1]
+            new.append(lax.dynamic_update_slice_in_dim(
+                vs, lax.dynamic_slice_in_dim(pv, off, rows, 0), i0, 0))
+            new.append(lax.dynamic_update_slice_in_dim(
+                ws, lax.dynamic_slice_in_dim(pw, off, rows, 0), i0, 0))
+        return tuple(new)
+
+    init = []
+    for fs in face_shapes:
+        init += [jnp.zeros(fs, jnp.float32), jnp.zeros(fs, jnp.float32)]
+    out = lax.fori_loop(0, i_slabs, body, tuple(init))
+    return [(out[0], out[1]), (out[2], out[3]), (out[4], out[5])]
 
 
 def liquid_sdf_from_fields(fields, grid_shape, dx, radius, solid_center_phi,

@@ -60,8 +60,9 @@ def main():
         - (22 / 9 / dx**2) * d2, 0.0)
     want = np.zeros(res**3, np.float32)
     np.add.at(want, key, w.astype(np.float32))
-    # sums is standard (I,J,K,F); key is tile-major — compare via decode
-    got = sums[ii, jj, kk, 4]
+    # sums is standard K-folded (I, J, K*F); key is tile-major — compare
+    # via decode on the free 4D view
+    got = sums.reshape(res, res, res, -1)[ii, jj, kk, 4]
     want_g = want[key]
     if not np.allclose(got, want_g, rtol=1e-4, atol=1e-5):
         bad = np.abs(got - want_g).max()

@@ -95,8 +95,13 @@ def main():
     new_state, diag = step_fn(state)
     com = float(jnp.mean(new_state.pos[:, 1]))
     t1 = time.time()
+    # MG iteration counts are the scale-tracking signal (config.py
+    # mg_operator_dtype: bf16 was A/B'd at 128^3 only; a blow-up here
+    # says the V-cycle weakens with depth/scale)
     print(f"substep compiled+ran in {t1 - t0:.1f}s  com_y={com:.5f} "
-          f"overflow={int(diag['bucket_overflow'])}", flush=True)
+          f"overflow={int(diag['bucket_overflow'])} iters: "
+          f"pressure={int(diag['pressure_iterations'])} "
+          f"viscosity={int(diag['viscosity_iterations'])}", flush=True)
     assert np.isfinite(com)
     t0 = time.time()
     new_state, diag = step_fn(state)

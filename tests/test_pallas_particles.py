@@ -496,13 +496,72 @@ def test_step_pallas_split_gather_matches_fused():
 
 def test_p2g_combine_slabbed_matches_fused():
     """The i-slab-chunked combine (the 256^3 memory shape) must equal the
-    fused path bit-exactly (disjoint row pastes, 1-row halo)."""
+    fused path bit-exactly (disjoint row pastes, 1-row halo), for both the
+    4D (I,J,K,108) view and the scatter kernel's K-folded 3D form."""
     shape = (16, 16, 16)
     fs = ((17, 16, 16), (16, 17, 16), (16, 16, 17))
     rng = np.random.default_rng(5)
     sums = jnp.asarray(rng.standard_normal((*shape, 108)).astype(np.float32))
     a = pp.p2g_combine(sums, shape, fs, i_slabs=1)
     b = pp.p2g_combine(sums, shape, fs, i_slabs=4)
-    for (va, wa), (vb, wb) in zip(a, b):
+    folded = sums.reshape(shape[0], shape[1], -1)
+    c = pp.p2g_combine(folded, shape, fs, i_slabs=4)
+    for (va, wa), (vb, wb), (vc, wc) in zip(a, b, c):
         np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
         np.testing.assert_array_equal(np.asarray(wa), np.asarray(wb))
+        np.testing.assert_array_equal(np.asarray(va), np.asarray(vc))
+        np.testing.assert_array_equal(np.asarray(wa), np.asarray(wc))
+
+
+def test_scatter_fold_sums_matches_unfolded():
+    """fold_sums=True (the >= 2^24-cell memory shape: K-folded
+    (I, J, K*SUML) sums, Mosaic-padded capl) must reproduce the standard
+    4D sums and the identical SDF table — for both the sorted stream and
+    the stale in-kernel-rank path."""
+    shape = (16, 16, 16)
+    dx = 1.0 / 16
+    cap = 4
+    rng = np.random.default_rng(13)
+    n = 2500
+    pos = jnp.asarray(rng.random((n, 3), np.float32) * 0.9 + 0.05)
+    vel = jnp.asarray(rng.standard_normal((n, 3)).astype(np.float32))
+
+    stream = pp.tiled_sort(pos, vel, dx, shape)
+    sums4, tbl4 = pp.scatter_p2g_table(
+        stream.plan.tabs, stream.plan.lockeys, stream.payload,
+        shape, dx, cap, fold_sums=False)
+    sumsf, tblf = pp.scatter_p2g_table(
+        stream.plan.tabs, stream.plan.lockeys, stream.payload,
+        shape, dx, cap, fold_sums=True)
+    assert sumsf.shape == (shape[0], shape[1], shape[2] * pp.SUML)
+    got = sumsf.reshape(*shape, pp.SUML)
+    np.testing.assert_allclose(
+        np.asarray(got[..., :108]), np.asarray(sums4), rtol=1e-5, atol=1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(got[..., 108:]), 0.0)
+    np.testing.assert_array_equal(np.asarray(tblf), np.asarray(tbl4))
+
+    # stale path: padded capl + in-kernel rank computed from the padded
+    # count lane, under fold_sums
+    key = pp.key_of_position(pos, dx, shape)
+    gplan, splan = pp.plan_pass_a(key, n, shape, budget=8, factor=3.0)
+    assert bool(jnp.all(gplan.covered))
+    payload = pp.stale_payload(pos, vel, key, shape)
+    sums_t, tbl_t = pp.scatter_p2g_table(
+        splan.tabs, splan.lockeys, payload, shape, dx, cap,
+        inkernel_rank=True, fold_sums=True)
+    got_t = sums_t.reshape(*shape, pp.SUML)[..., :108]
+    np.testing.assert_allclose(
+        np.asarray(got_t), np.asarray(sums4), rtol=1e-4, atol=1e-5)
+    f_s = np.stack([np.asarray(f) for f in pp.table_fields(
+        tbl4, shape, cap)], axis=-1)
+    f_t = np.stack([np.asarray(f) for f in pp.table_fields(
+        tbl_t, shape, cap)], axis=-1)
+    np.testing.assert_allclose(
+        np.sort(f_s, axis=0), np.sort(f_t, axis=0), atol=1e-6)
+    # the padded capl keeps the count lane at cap*4: overflow still exact
+    ijk = np.asarray(jnp.stack(pp.decode_key(key, shape), axis=1))
+    std = (ijk[:, 0] * shape[1] + ijk[:, 1]) * shape[2] + ijk[:, 2]
+    hist = np.bincount(std, minlength=shape[0] * shape[1] * shape[2])
+    assert int(pp.table_rank_overflow(tbl_t, shape, cap)) == int(
+        np.maximum(hist - cap, 0).sum())
