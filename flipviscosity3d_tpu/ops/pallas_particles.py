@@ -612,20 +612,27 @@ def _table_chunk_values(data, local, rank, cap, with_counts, capl=None):
     return a64, rv
 
 
-_RANK_SUB = 128   # in-kernel rank sub-block width (lane-register aligned)
-
-
-def _rank_from_accumulator(m1, a64, local, tbl2d, cap, capl=None):
+def _rank_from_accumulator(a64, local, localT, tbl2d, cap, capl=None):
     """Per-particle within-cell rank for the stale-ordering scatter:
-    cross-visit base read from the accumulator's count lanes + a
-    within-chunk prefix count, all as one-hot MXU contractions (DESIGN.md
-    "in-kernel rank"; replaces the sorted stream's cummax rank scan).
+    cross-visit base read from the accumulator's count lanes (one-hot MXU
+    contractions) + a within-chunk strict prefix computed as a VPU
+    broadcast-compare over the chunk's keys in BOTH layouts — localT
+    (C, 1) from the transposed plan input vs local (1, C).
 
-    m1 (W, C) cell one-hot, a64 (64, C) sublane-pair one-hot, local
-    (1, C) tile-local keys, tbl2d (64, 8*capl) the accumulated table
-    block (sublane-merged view; capl may carry Mosaic pad lanes past the
-    count lane at cap*4). All dots are 0/1 x 0/1 (terms=1, exact)
-    except those against count values (terms=2, exact to 2^16)."""
+    The prefix is the whole cost story: the round-5 first cut contracted
+    a (W, C) cell one-hot against strict-lower matrices (~36M MAC/visit),
+    which measured 147 ms/substep at 128^3/4.1M vs the sorted scatter's
+    41.6 and made the stale pass A a net LOSS (bench 2.106 vs 2.803).
+    The compare form is ~0.5M VPU ops/visit: rank_j = #{i<j :
+    key_i == key_j} needs no W contraction at all once the keys exist as
+    a (C, 1) column, which is a free (nv*C, 1) reshape of the plan's
+    lockeys row outside the kernel (contiguous per-visit column blocks).
+
+    a64 (64, C) sublane-pair one-hot, local (1, C) tile-local keys,
+    localT (C, 1) the same keys transposed, tbl2d (64, 8*capl) the
+    accumulated table block. Count-lane dots are terms=2 (exact to 2^16
+    counts). Pad/foreign rows carry out-of-tile keys, so they never
+    equal a valid key and add nothing to valid prefixes."""
     if capl is None:
         capl = cap * 4 + 8
     # ---- cross-visit base: count lane per cell, factored (sub64, lk) ----
@@ -643,26 +650,12 @@ def _rank_from_accumulator(m1, a64, local, tbl2d, cap, capl=None):
         lk1, cnt64, (((1,), (0,)), ((), ())), onehot_left=False, terms=2)
     base_p = jnp.sum(a64 * t1, axis=0, keepdims=True)   # (1, C)
 
-    # ---- within-chunk prefix, hierarchical over 128-lane sub-blocks ----
-    qi = jax.lax.broadcasted_iota(jnp.int32, (_RANK_SUB, _RANK_SUB), 0)
-    pi = jax.lax.broadcasted_iota(jnp.int32, (_RANK_SUB, _RANK_SUB), 1)
-    lstrict = jnp.where(qi < pi, 1.0, 0.0)
-    ones8 = jnp.ones((TILE[2], _RANK_SUB), jnp.float32)
-    h8 = jnp.zeros((TILE[2], W), jnp.float32)
-    parts = []
-    for b in range(C // _RANK_SUB):
-        m1b = m1[:, _RANK_SUB * b:_RANK_SUB * (b + 1)]     # (W, 128)
-        prefb = onehot_dot(                                # (W, 128)
-            lstrict, m1b, (((1,), (0,)), ((), ())),
-            onehot_left=False, terms=1)
-        rb = jnp.sum(m1b * prefb, axis=0, keepdims=True)   # (1, 128)
-        hb = onehot_dot(                                   # (8, 128)
-            m1b, h8, (((1,), (0,)), ((), ())),
-            onehot_left=False, terms=2)
-        parts.append(rb + hb[0:1])
-        h8 = h8 + onehot_dot(                              # (8, W)
-            ones8, m1b, (((1,), (1,)), ((), ())), terms=1)
-    return base_p + jnp.concatenate(parts, axis=1)         # (1, C)
+    # ---- within-chunk strict prefix: (C, C) broadcast-compare ----
+    ii = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
+    eq = jnp.where((localT == local) & (ii < jj), 1.0, 0.0)
+    pref = jnp.sum(eq, axis=0, keepdims=True)           # (1, C)
+    return base_p + pref
 
 
 @functools.partial(
@@ -711,8 +704,9 @@ def scatter_p2g_table(tabs, lockeys, payload, grid_shape, dx, cap,
     inkernel_rank=True is the stale-ordering pass-A mode (tabs/lockeys
     from plan_pass_a's ScatterPlan, payload rank row ignored): within-cell
     ranks are computed per visit from the accumulator's count lanes plus a
-    one-hot prefix contraction (_rank_from_accumulator), so the input
-    needs NO sorted stream at all. capl grows from cap*4 to cap*4+8 (the
+    VPU broadcast-compare prefix over the chunk keys in both layouts
+    (_rank_from_accumulator; the (C, nv) transposed keys ride in as a
+    fourth kernel input), so the input needs NO sorted stream at all. capl grows from cap*4 to cap*4+8 (the
     count lanes; table_fields skips them, table_rank_overflow reads
     them)."""
     nv = lockeys.shape[1] // C
@@ -723,7 +717,11 @@ def scatter_p2g_table(tabs, lockeys, payload, grid_shape, dx, cap,
         fold_sums = (
             grid_shape[0] * grid_shape[1] * grid_shape[2]) >= (1 << 24)
 
-    def kernel(tabs_ref, lk_ref, pay_ref, sums_ref, tbl_ref):
+    def kernel(tabs_ref, lk_ref, pay_ref, *refs):
+        if inkernel_rank:
+            lkt_ref, sums_ref, tbl_ref = refs
+        else:
+            (sums_ref, tbl_ref), lkt_ref = refs, None
         v = pl.program_id(0)
 
         @pl.when((tabs_ref[v] & FLAG_TILE) != 0)
@@ -738,10 +736,6 @@ def scatter_p2g_table(tabs, lockeys, payload, grid_shape, dx, cap,
             sums_ref[...] += onehot_dot(
                 a64s, rvs, dims, terms=terms).reshape(
                     TILE[0], TILE[1], TILE[2] * SUML)
-            if inkernel_rank:
-                sub_w = jax.lax.broadcasted_iota(
-                    jnp.int32, (W, C), 0).astype(jnp.float32)
-                m1 = jnp.where(local == sub_w, 1.0, 0.0)
         else:
             m1, wv = _p2g_chunk_values(pay_ref[:], local, dxf)
             sums_ref[...] += onehot_dot(m1, wv, dims, terms=terms).reshape(
@@ -752,7 +746,8 @@ def scatter_p2g_table(tabs, lockeys, payload, grid_shape, dx, cap,
                 jnp.int32, (TILE[0] * TILE[1], C), 0).astype(jnp.float32)
             a64 = jnp.where(
                 jnp.floor(local * (1.0 / TILE[2])) == sub64, 1.0, 0.0)
-            rank = _rank_from_accumulator(m1, a64, local, tbl2d, cap, capl)
+            rank = _rank_from_accumulator(
+                a64, local, lkt_ref[:], tbl2d, cap, capl)
         else:
             rank = pay_ref[6:7]
         a64, rv = _table_chunk_values(
@@ -787,7 +782,8 @@ def scatter_p2g_table(tabs, lockeys, payload, grid_shape, dx, cap,
         in_specs=[
             pl.BlockSpec((1, C), lambda v, t: (0, v)),
             pl.BlockSpec((NPAY, C), lambda v, t: (0, t[nv + v])),
-        ],
+        ] + ([pl.BlockSpec((C, 1), lambda v, t: (v, 0))]
+             if inkernel_rank else []),
         out_specs=[
             sums_spec,
             pl.BlockSpec((TILE[0], TILE[1], TILE[2] * capl), tbl_idx),
@@ -803,7 +799,8 @@ def scatter_p2g_table(tabs, lockeys, payload, grid_shape, dx, cap,
         ],
         grid_spec=grid_spec,
         interpret=_interpret(),
-    )(tabs, lockeys, payload)
+    )(tabs, lockeys, payload,
+      *((lockeys.reshape(nv * C, 1),) if inkernel_rank else ()))
 
 
 def table_fields(tbl_std, grid_shape, cap):
@@ -1091,7 +1088,8 @@ def gather_payload(px, py, pz, keys, grid_shape):
 def _trilinear_weightsT(pay, dx, n_grids, f):
     """(f, C) per-(lane, particle) trilinear corner weights.
 
-    Lane layout matches build_mac_columns: lane = (comp*n_grids+g)*18+oidx.
+    Lane layout matches build_mac_columns: lane = (g*3+comp)*18+oidx
+    (grid-major, as decoded below).
     Reproduces combine_mac_samples' math (macvelocityfield.cpp:455-578) with
     the lane decomposition done as f32 select arithmetic (Mosaic-safe)."""
     px, py, pz = pay[0:1], pay[1:2], pay[2:3]
