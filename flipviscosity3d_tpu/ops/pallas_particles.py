@@ -386,27 +386,65 @@ def stack_tile_major(cols, grid_shape):
     return x.reshape(nt[0] * nt[1] * nt[2], W, f)
 
 
-def stack_tile_major_fw(cols, grid_shape):
+def stack_tile_major_fw(cols, grid_shape, i_slabs=None, dtype=jnp.float32):
     """F (I, J, K) column grids -> (n_tiles, F, W) F-MAJOR tile image.
+
+    dtype=bf16 stores the image (and runs the whole relayout) at half
+    width: the gather kernels then contract it in ONE native MXU pass
+    (the bf16 values ARE the operand — no _split3 terms), halving both
+    the column DMA and the relayout traffic. Sample values round to
+    bf16 (~2^-9 relative); see config.pallas_gather_dtype for the
+    measured accuracy story.
 
     The gather kernels' column layout. vs the (n_tiles, W, F) form: the
     minor dim is W=512 (full lanes), so F pads only to a sublane multiple
     of 8 — 1.04x at F=108 — where the W-major form pads F to 128 lanes
     (1.19x at 108, 4x at cap*4=32, and a fatal 8 GB at 256^3). Same
-    optimization_barrier rule as stack_tile_major."""
+    optimization_barrier rule as stack_tile_major.
+
+    F pads to a sublane multiple of 8 by APPENDING ZERO GRIDS to the
+    stack, not jnp.pad after it: at 256^3 XLA materialized the pad (and
+    its operand copy) in an F-minor layout — 54 lanes tile-pad to 128,
+    two 8 GB HLO temps for a 3.4 GB image (hardware OOM, round 5).
+
+    i_slabs > 1 bounds the relayout the same way p2g_combine's does: the
+    7D transpose runs per I-slab on an iteration-dependent dynamic slice
+    inside lax.fori_loop, so XLA cannot hoist/CSE the slab transposes
+    into one whole-array F-minor copy (see p2g_combine's docstring for
+    why the loop is essential, not style). None: auto — 8 slabs at
+    >= 2^24 cells, else 1 (the fused path, unchanged at bench scale)."""
     f = len(cols)
     nt = tile_counts(grid_shape)
-    x = jnp.stack(cols, axis=0)  # (F, I, J, K)
-    x = lax.optimization_barrier(x)
-    # pad F to a sublane multiple HERE, on the major dim, where it is a
-    # cheap append — the gather kernels otherwise jnp.pad the (…, F, W)
-    # image's tiled sublane dim, a 5.6 ms copy at 128^3 (hardware, r4)
     f_pad = -(-f // 8) * 8
+    cols = [c.astype(dtype) for c in cols]
     if f_pad != f:
-        x = jnp.pad(x, ((0, f_pad - f), (0, 0), (0, 0), (0, 0)))
-    x = x.reshape(f_pad, nt[0], TILE[0], nt[1], TILE[1], nt[2], TILE[2])
-    x = x.transpose(1, 3, 5, 0, 2, 4, 6)
-    return x.reshape(nt[0] * nt[1] * nt[2], f_pad, W)
+        cols = cols + [jnp.zeros(grid_shape, dtype)] * (f_pad - f)
+    x = jnp.stack(cols, axis=0)  # (f_pad, I, J, K): no trailing-1 padding
+    x = lax.optimization_barrier(x)
+    if i_slabs is None:
+        big = grid_shape[0] * grid_shape[1] * grid_shape[2] >= (1 << 24)
+        i_slabs = 8 if (big and nt[0] % 8 == 0) else 1
+
+    def relayout(xs, nti):
+        xs = xs.reshape(f_pad, nti, TILE[0], nt[1], TILE[1], nt[2], TILE[2])
+        xs = xs.transpose(1, 3, 5, 0, 2, 4, 6)
+        return xs.reshape(nti * nt[1] * nt[2], f_pad, W)
+
+    if i_slabs == 1:
+        return relayout(x, nt[0])
+
+    per_t = nt[0] // i_slabs           # tile-rows per slab
+    tiles_per = per_t * nt[1] * nt[2]
+
+    def body(s, out):
+        slab = lax.dynamic_slice_in_dim(
+            x, s * per_t * TILE[0], per_t * TILE[0], axis=1)
+        return lax.dynamic_update_slice_in_dim(
+            out, relayout(slab, per_t), s * tiles_per, 0)
+
+    return lax.fori_loop(
+        0, i_slabs, body,
+        jnp.zeros((nt[0] * nt[1] * nt[2], f_pad, W), dtype))
 
 
 def from_tile_major(y, grid_shape):
@@ -612,27 +650,31 @@ def _table_chunk_values(data, local, rank, cap, with_counts, capl=None):
     return a64, rv
 
 
-def _rank_from_accumulator(a64, local, localT, tbl2d, cap, capl=None):
+def _rank_from_accumulator(a64, local, tbl2d, cap, capl=None):
     """Per-particle within-cell rank for the stale-ordering scatter:
     cross-visit base read from the accumulator's count lanes (one-hot MXU
     contractions) + a within-chunk strict prefix computed as a VPU
-    broadcast-compare over the chunk's keys in BOTH layouts — localT
-    (C, 1) from the transposed plan input vs local (1, C).
+    broadcast-compare over the chunk's keys in BOTH layouts — a (C, 1)
+    key column from one in-kernel XLU transpose vs the (1, C) stream.
 
     The prefix is the whole cost story: the round-5 first cut contracted
     a (W, C) cell one-hot against strict-lower matrices (~36M MAC/visit),
     which measured 147 ms/substep at 128^3/4.1M vs the sorted scatter's
     41.6 and made the stale pass A a net LOSS (bench 2.106 vs 2.803).
     The compare form is ~0.5M VPU ops/visit: rank_j = #{i<j :
-    key_i == key_j} needs no W contraction at all once the keys exist as
-    a (C, 1) column, which is a free (nv*C, 1) reshape of the plan's
-    lockeys row outside the kernel (contiguous per-visit column blocks).
+    key_i == key_j} needs no W contraction at all once the keys exist
+    along sublanes. Two dead ends recorded: shipping the column from
+    XLA as an (nv*C, 1) operand tile-pads 128x in HBM (7.4 GB — the
+    round-4 minor-dim trap), and an MXU identity-transpose costs a full
+    128-lane pass (C*C*128 MAC, as bad as the contraction it replaces);
+    the XLU `lax.transpose` of the 128-sublane broadcast moves 256 KB of
+    VMEM per visit and is Mosaic-native (tpu.transpose).
 
     a64 (64, C) sublane-pair one-hot, local (1, C) tile-local keys,
-    localT (C, 1) the same keys transposed, tbl2d (64, 8*capl) the
-    accumulated table block. Count-lane dots are terms=2 (exact to 2^16
-    counts). Pad/foreign rows carry out-of-tile keys, so they never
-    equal a valid key and add nothing to valid prefixes."""
+    tbl2d (64, 8*capl) the accumulated table block. Count-lane dots are
+    terms=2 (exact to 2^16 counts). Pad/foreign rows carry out-of-tile
+    keys, so they never equal a valid key and add nothing to valid
+    prefixes."""
     if capl is None:
         capl = cap * 4 + 8
     # ---- cross-visit base: count lane per cell, factored (sub64, lk) ----
@@ -651,6 +693,8 @@ def _rank_from_accumulator(a64, local, localT, tbl2d, cap, capl=None):
     base_p = jnp.sum(a64 * t1, axis=0, keepdims=True)   # (1, C)
 
     # ---- within-chunk strict prefix: (C, C) broadcast-compare ----
+    localT = jax.lax.transpose(
+        jnp.broadcast_to(local, (128, C)), (1, 0))[:, 0:1]   # (C, 1)
     ii = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
     jj = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
     eq = jnp.where((localT == local) & (ii < jj), 1.0, 0.0)
@@ -705,8 +749,8 @@ def scatter_p2g_table(tabs, lockeys, payload, grid_shape, dx, cap,
     from plan_pass_a's ScatterPlan, payload rank row ignored): within-cell
     ranks are computed per visit from the accumulator's count lanes plus a
     VPU broadcast-compare prefix over the chunk keys in both layouts
-    (_rank_from_accumulator; the (C, nv) transposed keys ride in as a
-    fourth kernel input), so the input needs NO sorted stream at all. capl grows from cap*4 to cap*4+8 (the
+    (_rank_from_accumulator; the key column comes from one in-kernel XLU
+    transpose), so the input needs NO sorted stream at all. capl grows from cap*4 to cap*4+8 (the
     count lanes; table_fields skips them, table_rank_overflow reads
     them)."""
     nv = lockeys.shape[1] // C
@@ -717,11 +761,7 @@ def scatter_p2g_table(tabs, lockeys, payload, grid_shape, dx, cap,
         fold_sums = (
             grid_shape[0] * grid_shape[1] * grid_shape[2]) >= (1 << 24)
 
-    def kernel(tabs_ref, lk_ref, pay_ref, *refs):
-        if inkernel_rank:
-            lkt_ref, sums_ref, tbl_ref = refs
-        else:
-            (sums_ref, tbl_ref), lkt_ref = refs, None
+    def kernel(tabs_ref, lk_ref, pay_ref, sums_ref, tbl_ref):
         v = pl.program_id(0)
 
         @pl.when((tabs_ref[v] & FLAG_TILE) != 0)
@@ -746,8 +786,7 @@ def scatter_p2g_table(tabs, lockeys, payload, grid_shape, dx, cap,
                 jnp.int32, (TILE[0] * TILE[1], C), 0).astype(jnp.float32)
             a64 = jnp.where(
                 jnp.floor(local * (1.0 / TILE[2])) == sub64, 1.0, 0.0)
-            rank = _rank_from_accumulator(
-                a64, local, lkt_ref[:], tbl2d, cap, capl)
+            rank = _rank_from_accumulator(a64, local, tbl2d, cap, capl)
         else:
             rank = pay_ref[6:7]
         a64, rv = _table_chunk_values(
@@ -782,8 +821,7 @@ def scatter_p2g_table(tabs, lockeys, payload, grid_shape, dx, cap,
         in_specs=[
             pl.BlockSpec((1, C), lambda v, t: (0, v)),
             pl.BlockSpec((NPAY, C), lambda v, t: (0, t[nv + v])),
-        ] + ([pl.BlockSpec((C, 1), lambda v, t: (v, 0))]
-             if inkernel_rank else []),
+        ],
         out_specs=[
             sums_spec,
             pl.BlockSpec((TILE[0], TILE[1], TILE[2] * capl), tbl_idx),
@@ -799,8 +837,7 @@ def scatter_p2g_table(tabs, lockeys, payload, grid_shape, dx, cap,
         ],
         grid_spec=grid_spec,
         interpret=_interpret(),
-    )(tabs, lockeys, payload,
-      *((lockeys.reshape(nv * C, 1),) if inkernel_rank else ()))
+    )(tabs, lockeys, payload)
 
 
 def table_fields(tbl_std, grid_shape, cap):
@@ -1002,7 +1039,8 @@ def gather_rows(tabs, lockeys, cols_fw, n, f_logical=None):
 # MAC sampling via gathered columns (G2P, RK2 stage 2)
 # ---------------------------------------------------------------------------
 
-def build_mac_columns(grids_u, grids_v, grids_w, grid_shape):
+def build_mac_columns(grids_u, grids_v, grids_w, grid_shape,
+                      dtype=jnp.float32):
     """(n_tiles, F, W) F-MAJOR per-cell columns, GRID-MAJOR lane order:
     lane (g*3 + comp)*18 + oidx — grid g of component comp at window
     offset oidx (p2g_abs_offset layout). Matches
@@ -1023,7 +1061,7 @@ def build_mac_columns(grids_u, grids_v, grids_w, grid_shape):
             for oidx in range(18):
                 o = p2g_abs_offset(comp, oidx)
                 cols.append(shifted_read(comp_grids[comp][g], o, grid_shape))
-    return stack_tile_major_fw(cols, grid_shape)
+    return stack_tile_major_fw(cols, grid_shape, dtype=dtype)
 
 
 def combine_mac_samples(rows, px, py, pz, keys, dx, grid_shape, n_grids,
@@ -1146,6 +1184,9 @@ def gather_mac(tabs, lockeys, pay, cols_tm, n, dx, n_grids, terms=3):
     if f != n_cols_logical:
         cols_tm = jnp.pad(
             cols_tm, ((0, 0), (0, f - n_cols_logical), (0, 0)))
+    if cols_tm.dtype == jnp.bfloat16:
+        # the bf16 image IS the single exact term: one native MXU pass
+        terms = 1
     dxf = float(dx)
 
     def kernel(tabs_ref, lk_ref, pay_ref, cols_ref, out_ref):
