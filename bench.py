@@ -57,6 +57,8 @@ def run(engine: str, frames: int | None = None, quiet: bool = False) -> float:
     if os.environ.get("BENCH_MIDPOINT_FACTOR"):  # plan static-size A/B
         overrides["pallas_midpoint_factor"] = float(
             os.environ["BENCH_MIDPOINT_FACTOR"])
+    if os.environ.get("BENCH_GATHER_DTYPE"):     # gather cols A/B: f32 | bf16
+        overrides["pallas_gather_dtype"] = os.environ["BENCH_GATHER_DTYPE"]
     if os.environ.get("BENCH_SPLIT_TERMS"):      # one-hot matmul passes A/B
         overrides["pallas_split_terms"] = int(
             os.environ["BENCH_SPLIT_TERMS"])

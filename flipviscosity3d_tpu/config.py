@@ -151,6 +151,16 @@ class SimConfig:
     # >= 2^24 cells (256^3+).
     pallas_split_gather: bool | None = None
 
+    # Storage dtype for the G2P gather column images ("f32" | "bf16").
+    # "bf16" halves the column build/relayout traffic AND the per-visit
+    # gather DMA, and the gather kernels contract the bf16 image in ONE
+    # native MXU pass (vs pallas_split_terms f32 passes) — the largest
+    # single lever on the gather pair's ~71 ms (r4 roofline). Cost:
+    # sampled velocities round to bf16 (~2^-9 relative) before the FLIP
+    # blend and RK2 midpoint. Measured A/B + parity before any default
+    # change (see BASELINE.md round-5 rows).
+    pallas_gather_dtype: str = "f32"
+
     # bf16 split passes per one-hot matmul in the pallas particle kernels:
     # 3 reproduces f32 products to ~2^-22 (the default, parity-exact
     # class); 2 is ~2^-15 (single-f32-pass class) and saves a third of the

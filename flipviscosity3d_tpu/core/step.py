@@ -453,12 +453,14 @@ def _step_pallas(state: SimState, dt, cfg: SimConfig, substep_idx=None):
     split_g = cfg.pallas_split_gather
     if split_g is None:
         split_g = (shape[0] * shape[1] * shape[2]) >= (1 << 24)
+    gdt = (jnp.bfloat16 if cfg.pallas_gather_dtype == "bf16"
+           else jnp.float32)
     if split_g:
         # two 54-lane images: halves the peak column memory (config.py
         # pallas_split_gather); pass B reuses the post-solve image whole
-        cols_new = pp.build_mac_columns([u], [v], [w], shape)
+        cols_new = pp.build_mac_columns([u], [v], [w], shape, dtype=gdt)
         cols_sav = pp.build_mac_columns(
-            [saved_u], [saved_v], [saved_w], shape)
+            [saved_u], [saved_v], [saved_w], shape, dtype=gdt)
         gm_n = pp.gather_mac(
             g_tabs, g_lk, pay_a, cols_new, n, dx, 1,
             terms=cfg.pallas_split_terms)
@@ -470,7 +472,7 @@ def _step_pallas(state: SimState, dt, cfg: SimConfig, substep_idx=None):
         cols_b = cols_new
     else:
         cols_a = pp.build_mac_columns(
-            [u, saved_u], [v, saved_v], [w, saved_w], shape)
+            [u, saved_u], [v, saved_v], [w, saved_w], shape, dtype=gdt)
         gm = pp.gather_mac(
             g_tabs, g_lk, pay_a, cols_a,
             n, dx, 2, terms=cfg.pallas_split_terms)

@@ -245,6 +245,40 @@ def test_gather_mac_matches_unfused():
     np.testing.assert_array_equal(np.asarray(gm[6:]), 0.0)
 
 
+def test_gather_mac_bf16_cols_close_to_f32():
+    """bf16 column image (pallas_gather_dtype="bf16"): gather_mac output
+    matches the f32 image's to bf16 sampling tolerance. The trilinear
+    combine stays f32 — only the stored samples round."""
+    shape = (16, 16, 16)
+    dx = 1.0 / 16
+    rng = np.random.default_rng(7)
+    n = 2000
+    pos = jnp.asarray(rng.random((n, 3), np.float32) * 0.9 + 0.05)
+    vel = jnp.zeros((n, 3), jnp.float32)
+    stream = pp.tiled_sort(pos, vel, dx, shape)
+    grids = [jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+             for _ in range(6)]
+    pay = jnp.concatenate(
+        [stream.payload[0:3], stream.payload[7:10]], axis=0)
+
+    cols32 = pp.build_mac_columns(grids[0:2], grids[2:4], grids[4:6], shape)
+    cols16 = pp.build_mac_columns(
+        grids[0:2], grids[2:4], grids[4:6], shape, dtype=jnp.bfloat16)
+    assert cols16.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(cols16, np.float32), np.asarray(cols32),
+        rtol=2 ** -8, atol=1e-6)
+
+    gm32 = pp.gather_mac(
+        stream.plan.tabs, stream.plan.lockeys, pay, cols32, n, dx, 2)
+    gm16 = pp.gather_mac(
+        stream.plan.tabs, stream.plan.lockeys, pay, cols16, n, dx, 2)
+    # each sample is a convex-ish combo of 8 bf16-rounded nodes: the
+    # error bound is the node magnitude x 2^-8 (weights are exact f32)
+    np.testing.assert_allclose(
+        np.asarray(gm16[:6]), np.asarray(gm32[:6]), rtol=0, atol=2e-2)
+
+
 def test_midpoint_plan_matches_sorted_gather():
     """gather_mac through plan_midpoint_visits == the sort-then-gather path
     (its oracle), for covered particles; coverage is exhaustive at a
