@@ -549,7 +549,12 @@ def _p2g_chunk_values(data, local, dx):
     return m1, jnp.concatenate([wgt, wgt * vsel], axis=0)
 
 
-SUML = 128  # folded sums lanes per cell (N_P2G=108 padded to the lane width)
+SUML = 112  # folded sums lanes per cell: N_P2G=108 padded to a multiple
+            # of 16 so the (8, 8, 8*SUML) block's 896-lane minor dim stays
+            # 128-aligned. NOT 128: the extra 16 lanes/cell are 1.07 GB of
+            # pure pad at 256^3 — the margin the config-4 step OOM'd by
+            # (15.88 of 15.75 G, round 5) — and 12.5% extra MACs in the
+            # folded scatter dot.
 
 
 def _p2g_chunk_values_folded(data, local, dx):
