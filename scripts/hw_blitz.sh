@@ -31,6 +31,13 @@ cd "$(dirname "$0")/.."
   echo "--- 3c. bench: pallas + stale pass A (resort 1/frame) ---"
   BENCH_ENGINE=pallas BENCH_PASS_A=stale timeout 4000 python bench.py
 
+  echo "--- 3e. bench: pallas + bf16 gather columns ---"
+  BENCH_ENGINE=pallas BENCH_GATHER_DTYPE=bf16 timeout 4000 python bench.py
+
+  echo "--- 3f. bench: pallas + split_terms=2 + bf16 gather (candidate default) ---"
+  BENCH_ENGINE=pallas BENCH_SPLIT_TERMS=2 BENCH_GATHER_DTYPE=bf16 \
+    timeout 4000 python bench.py
+
   echo "--- 3d. solver microbench (direct solve wall, 128^3) ---"
   RES=128 timeout 4000 python scripts/solver_microbench.py
 
